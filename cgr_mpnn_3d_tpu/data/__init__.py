@@ -1,0 +1,8 @@
+"""Data pipeline: dataset, static-shape packing, loaders."""
+
+from .batch import PackedGraphBatch, PackSpec, pack_graphs, packs_needed, plan_spec
+from .dataset import ChemDataset
+from .loader import PackedLoader
+
+__all__ = ["PackedGraphBatch", "PackSpec", "pack_graphs", "packs_needed",
+           "plan_spec", "ChemDataset", "PackedLoader"]

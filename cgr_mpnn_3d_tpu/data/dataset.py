@@ -1,0 +1,116 @@
+"""Reaction/molecule dataset: CSV + optional MACE-descriptor npz fusion.
+
+Equivalent of the reference's ChemDataset (ChemDataset.py:10-116): column 0 =
+SMILES, column 1 = label; graphs are featurized once per unique SMILES and
+cached; an optional ``.npz`` holds per-row MACE descriptor blocks keyed
+``arr_{i}`` that are concatenated onto node features (ChemDataset.py:37-42,
+83-86).
+
+Deviations (deliberate):
+* arrays are numpy (host) feeding the static-shape packer, not torch tensors;
+* MACE blocks are attached per-row at pack time instead of being baked into
+  the per-SMILES cache — the reference caches the *first* row's descriptors
+  for duplicated SMILES (ChemDataset.py:55-67), which is a latent bug we do
+  not replicate;
+* the reference's negative-index quirk (ChemDataset.py:84 computes
+  ``len - key`` instead of ``len + key``) is not replicated; plain python
+  negative indexing works.
+"""
+
+from __future__ import annotations
+
+import csv
+from pathlib import Path
+
+import numpy as np
+
+from ..chem.featurize import GraphArrays, MolGraph, RxnGraph
+
+__all__ = ["ChemDataset"]
+
+
+class ChemDataset:
+    def __init__(self, data_path: str, mode: str = "rxn",
+                 data_npz_path: str | None = None):
+        if mode not in ("mol", "rxn"):
+            raise ValueError(f"Unknown option for mode {mode!r}")
+        self.mode = mode
+        self.data_path = Path(data_path)
+
+        smiles, labels = [], []
+        with open(self.data_path, newline="") as f:
+            reader = csv.reader(f)
+            header = next(reader)
+            if header and _is_float(header[-1]):  # header-less csv
+                f.seek(0)
+                reader = csv.reader(f)
+            for row in reader:
+                if not row:
+                    continue
+                smiles.append(row[0])
+                labels.append(np.float32(row[1]) if len(row) > 1 else np.float32(0))
+        self.smiles: list[str] = smiles
+        self.labels = np.asarray(labels, dtype=np.float32)
+
+        self._cache: dict[str, GraphArrays] = {}
+
+        self.use_npz = data_npz_path is not None
+        self.mace_features: dict[int, np.ndarray] = {}
+        if self.use_npz:
+            with np.load(data_npz_path) as npz:
+                for key in npz.files:
+                    # reference keys are arr_0..arr_{n-1} (ChemDataset.py:40-42)
+                    idx = int(key.split("_")[-1])
+                    self.mace_features[idx] = np.asarray(npz[key], np.float32)
+
+    def __len__(self) -> int:
+        return len(self.smiles)
+
+    def graph(self, key: int) -> GraphArrays:
+        """Featurized graph for row ``key`` (cached per unique SMILES,
+        mirroring ChemDataset.py:54-68)."""
+        smi = self.smiles[key]
+        g = self._cache.get(smi)
+        if g is None:
+            if self.mode == "mol":
+                g = MolGraph(smi).arrays
+            else:
+                g = RxnGraph(smi).arrays
+            self._cache[smi] = g
+        return g
+
+    def extra_feats(self, key: int) -> np.ndarray | None:
+        """Per-atom MACE descriptor block for row ``key`` (or None)."""
+        if not self.use_npz:
+            return None
+        if key < 0:
+            key = len(self.smiles) + key
+        return self.mace_features[key]
+
+    def __getitem__(self, key: int) -> tuple[GraphArrays, np.float32,
+                                             np.ndarray | None]:
+        return self.graph(key), self.labels[key], self.extra_feats(key)
+
+    @property
+    def num_node_features(self) -> int:
+        n = self.graph(0).node_feats.shape[1]
+        if self.use_npz:
+            n += self.mace_features[0].shape[1]
+        return n
+
+    @property
+    def num_edge_features(self) -> int:
+        return self.graph(0).edge_feats.shape[1]
+
+    def prefeaturize(self) -> None:
+        """Eagerly featurize every row (fills the cache)."""
+        for i in range(len(self)):
+            self.graph(i)
+
+
+def _is_float(s: str) -> bool:
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False

@@ -1,0 +1,176 @@
+"""Data-layer tests: dataset (mirrors reference test_chemdataset.py:16-85),
+block-dense packing invariants, loader static shapes."""
+
+import numpy as np
+import pytest
+
+from cgr_mpnn_3d_tpu.chem import RxnGraph
+from cgr_mpnn_3d_tpu.data import (ChemDataset, PackedLoader, PackSpec,
+                                  pack_graphs, packs_needed, plan_spec)
+
+SMILES = ["CCO>C>CCO", "O>C>CO", "N>C>CN"]
+LABELS = [1.0, 2.0, 3.0]
+
+
+@pytest.fixture
+def csv_path(tmp_path):
+    p = tmp_path / "mock.csv"
+    p.write_text("SMILES,Label\n" +
+                 "\n".join(f"{s},{l}" for s, l in zip(SMILES, LABELS)) + "\n")
+    return str(p)
+
+
+@pytest.fixture
+def npz_path(tmp_path, csv_path):
+    p = tmp_path / "mock.npz"
+    rng = np.random.default_rng(0)
+    sizes = [RxnGraph(s).arrays.num_nodes for s in SMILES]
+    np.savez(str(p), *[rng.random((n, 5)).astype(np.float32) for n in sizes])
+    return str(p)
+
+
+class TestChemDataset:
+    def test_initialization(self, csv_path):
+        ds = ChemDataset(csv_path, mode="rxn")
+        assert len(ds) == 3
+        assert ds.mode == "rxn"
+        assert ds.smiles[0] == SMILES[0]
+        assert abs(ds.labels[0] - 1.0) < 1e-6
+
+    def test_graph_and_getitem(self, csv_path):
+        ds = ChemDataset(csv_path)
+        g, y, extra = ds[0]
+        assert g.node_feats.shape[1] == 78
+        assert extra is None
+        assert abs(y - 1.0) < 1e-6
+        # cache: same object back
+        assert ds.graph(0) is ds.graph(0)
+
+    def test_npz_concat_widens_features(self, csv_path, npz_path):
+        ds = ChemDataset(csv_path, data_npz_path=npz_path)
+        assert ds.num_node_features == 78 + 5
+        _, _, extra = ds[0]
+        assert extra.shape[1] == 5
+
+    def test_negative_index(self, csv_path, npz_path):
+        ds = ChemDataset(csv_path, data_npz_path=npz_path)
+        np.testing.assert_array_equal(ds.extra_feats(-1), ds.extra_feats(2))
+
+    def test_bad_mode(self, csv_path):
+        with pytest.raises(ValueError):
+            ChemDataset(csv_path, mode="nope")
+
+    def test_headerless_csv(self, tmp_path):
+        p = tmp_path / "nohdr.csv"
+        p.write_text("CCO>>CCO,4.5\n")
+        ds = ChemDataset(str(p))
+        assert len(ds) == 1 and abs(ds.labels[0] - 4.5) < 1e-5
+
+
+def _brute_force_check(batch, spec):
+    """Validate every precomputed index array against senders/receivers."""
+    ET, NT = spec.total_edges, spec.total_nodes
+    real_edges = np.nonzero(batch.senders < NT)[0]
+    for e in real_edges:
+        s, r = batch.senders[e], batch.receivers[e]
+        # rev is an involution crossing the same node pair
+        re = batch.rev[e]
+        assert re < ET
+        assert batch.senders[re] == r and batch.receivers[re] == s
+        # edge_nbr = in-edges of sender(e)
+        expect = sorted(int(x) for x in real_edges if batch.receivers[x] == s)
+        got = sorted(int(x) for x in batch.edge_nbr[e] if x < ET)
+        assert got == expect
+        # edge_nbr_rev = out-edges of receiver(e)
+        expect = sorted(int(x) for x in real_edges if batch.senders[x] == r)
+        got = sorted(int(x) for x in batch.edge_nbr_rev[e] if x < ET)
+        assert got == expect
+    real_nodes = np.nonzero(batch.graph_of_node < spec.total_graphs)[0]
+    for n in real_nodes:
+        expect = sorted(int(x) for x in real_edges if batch.receivers[x] == n)
+        got = sorted(int(x) for x in batch.node_inc[n] if x < ET)
+        assert got == expect
+        expect = sorted(int(x) for x in real_edges if batch.senders[x] == n)
+        got = sorted(int(x) for x in batch.node_out[n] if x < ET)
+        assert got == expect
+    # graph_nodes consistent with graph_of_node
+    for g in np.nonzero(batch.graph_mask > 0)[0]:
+        members = sorted(int(n) for n in real_nodes
+                         if batch.graph_of_node[n] == g)
+        got = sorted(int(n) for n in batch.graph_nodes[g] if n < NT)
+        assert got == members
+
+
+class TestPacking:
+    def _graphs(self):
+        gs = [RxnGraph(s).arrays for s in SMILES * 3]
+        return gs, [float(i) for i in range(len(gs))]
+
+    def test_pack_invariants(self):
+        graphs, labels = self._graphs()
+        spec = plan_spec(graphs, te=64, tn=32, tb=8).with_packs(2)
+        batch = pack_graphs(graphs, labels, spec)
+        assert batch.node_x.shape == (64, 78)
+        assert batch.senders.shape == (128,)
+        assert batch.graph_mask.sum() == len(graphs)
+        _brute_force_check(batch, spec)
+
+    def test_pack_locality(self):
+        graphs, labels = self._graphs()
+        spec = plan_spec(graphs, te=32, tn=16, tb=4).with_packs(4)
+        batch = pack_graphs(graphs, labels, spec)
+        NT, ET = spec.total_nodes, spec.total_edges
+        for e in np.nonzero(batch.senders < NT)[0]:
+            pk = e // spec.te
+            assert batch.senders[e] // spec.tn == pk
+            assert batch.rev[e] // spec.te == pk
+            for x in batch.edge_nbr[e]:
+                assert x == ET or x // spec.te == pk
+
+    def test_overflow_raises(self):
+        graphs, labels = self._graphs()
+        spec = plan_spec(graphs, te=8, tn=4, tb=2).with_packs(1)
+        with pytest.raises(ValueError):
+            pack_graphs(graphs, labels, spec)
+
+    def test_extra_feats_concat(self):
+        graphs, labels = self._graphs()
+        extra = [np.ones((g.num_nodes, 3), np.float32) * i
+                 for i, g in enumerate(graphs)]
+        spec = plan_spec(graphs, te=64, tn=32, tb=16).with_packs(2)
+        batch = pack_graphs(graphs, labels, spec, extra)
+        assert batch.node_x.shape[1] == 78 + 3
+        # first graph's nodes carry block value 0, second value 1
+        nn0 = graphs[0].num_nodes
+        np.testing.assert_allclose(batch.node_x[:nn0, 78:], 0.0)
+
+    def test_packs_needed(self):
+        graphs, labels = self._graphs()
+        spec = plan_spec(graphs, te=32, tn=16, tb=4)
+        p = packs_needed(graphs, spec)
+        batch = pack_graphs(graphs, labels, spec.with_packs(p))
+        assert batch.graph_mask.sum() == len(graphs)
+
+
+class TestLoader:
+    def test_static_shapes_and_coverage(self, csv_path):
+        ds = ChemDataset(csv_path)
+        spec = plan_spec([ds.graph(i) for i in range(len(ds))],
+                         te=64, tn=32, tb=2)
+        loader = PackedLoader(ds, spec, batch_size=2, shuffle=True, seed=1)
+        seen = 0
+        shapes = set()
+        for batch in loader:
+            shapes.add(batch.node_x.shape)
+            seen += int(batch.graph_mask.sum())
+        assert seen == len(ds)
+        assert len(shapes) == 1  # static!
+
+    def test_prefetch_matches(self, csv_path):
+        ds = ChemDataset(csv_path)
+        spec = plan_spec([ds.graph(i) for i in range(len(ds))],
+                         te=64, tn=32, tb=4)
+        a = list(PackedLoader(ds, spec, batch_size=3, shuffle=False))
+        b = list(PackedLoader(ds, spec, batch_size=3, shuffle=False).prefetch())
+        assert len(a) == len(b)
+        np.testing.assert_array_equal(a[0].node_x, b[0].node_x)
