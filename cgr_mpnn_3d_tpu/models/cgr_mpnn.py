@@ -1,0 +1,180 @@
+"""CGR-MPNN model: directed-bond message passing over packed reaction graphs.
+
+Functionally identical math to the reference GNN (GNN.py:8-145), re-expressed
+over the packed batch format with gather-only ops:
+
+  h0 = act(edge_init([x[src] ++ e_attr]))                  GNN.py:52-55,84-87
+  repeat depth times:                                      GNN.py:90-102
+      t  = a_message[src] - h[rev]        (fused gather)   GNN.py:134-141
+      h  = lin_l(t) + (skip_w[l] *)? h0                    GNN.py:94-97
+      h  = dropout(act(h), p[l])                           GNN.py:100-102
+  s  = incoming-sum(h)     (the reference re-applies the last conv layer a
+                            second time, GNN.py:105 — its a_message branch has
+                            no parameters, so this is a plain segment sum)
+  hn = act(edge_to_node([x ++ s]))                         GNN.py:63-65,106-107
+  out = ffn(sum-pool(hn)).squeeze(-1)                      GNN.py:67-68,109-110
+
+Parameters are a plain pytree (dict) — idiomatic for pjit/shard_map — with
+PyTorch-default Linear init (U(-1/sqrt(fan_in), +1/sqrt(fan_in)) for both
+weight and bias) so training dynamics match the reference.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.batch import PackedGraphBatch, PackSpec
+from ..ops.segment import (dmpnn_messages, gather_nodes, graph_pool_sum,
+                           node_incoming_sum)
+
+__all__ = ["CGRMPNNConfig", "init_params", "apply", "ACTIVATIONS"]
+
+ACTIVATIONS = {
+    "ReLU": jax.nn.relu,
+    "SiLU": jax.nn.silu,
+    # torch F.gelu defaults to the exact (erf) form; jax defaults to tanh
+    # approximation — pin exact for parity.
+    "GELU": lambda x: jax.nn.gelu(x, approximate=False),
+}
+
+
+@dataclass(frozen=True)
+class CGRMPNNConfig:
+    num_node_features: int
+    num_edge_features: int
+    depth: int = 3
+    hidden_sizes: tuple[int, ...] = ()     # defaults to (300,)*depth (GNN.py:46)
+    dropout_ps: tuple[float, ...] = ()     # defaults to (0.02,)*depth (GNN.py:47)
+    activation: str = "ReLU"
+    aggr: str = "add"                      # 'add' | 'mean' (DMPNNConv aggr)
+    use_learnable_skip: bool = False
+    compute_dtype: Any = jnp.float32       # bf16 on TPU for speed; f32 parity
+
+    def __post_init__(self):
+        object.__setattr__(self, "hidden_sizes",
+                           tuple(self.hidden_sizes) or (300,) * self.depth)
+        object.__setattr__(self, "dropout_ps",
+                           tuple(self.dropout_ps) or (0.02,) * self.depth)
+        if len(self.hidden_sizes) != self.depth:
+            raise ValueError("hidden_sizes must have one entry per layer")
+        if len(set(self.hidden_sizes)) != 1:
+            # GNN.py keeps h at hidden_sizes[0] throughout; unequal sizes
+            # would break the skip additions there too (SURVEY.md C7).
+            raise ValueError("hidden_sizes must be uniform")
+        if self.aggr not in ("add", "mean"):
+            raise ValueError(f"unsupported aggr {self.aggr!r}")
+        if self.activation not in ACTIVATIONS:
+            raise ValueError(f"unsupported activation {self.activation!r}")
+
+    @property
+    def hidden(self) -> int:
+        return self.hidden_sizes[0]
+
+
+def _linear_init(key, fan_in: int, fan_out: int) -> dict:
+    """PyTorch nn.Linear default init (kaiming_uniform(a=sqrt(5)) ->
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for weight and bias)."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / np.sqrt(fan_in)
+    return {
+        "w": jax.random.uniform(kw, (fan_in, fan_out), jnp.float32,
+                                -bound, bound),
+        "b": jax.random.uniform(kb, (fan_out,), jnp.float32, -bound, bound),
+    }
+
+
+def init_params(key: jax.Array, cfg: CGRMPNNConfig) -> dict:
+    h = cfg.hidden
+    keys = jax.random.split(key, cfg.depth + 3)
+    params = {
+        "edge_init": _linear_init(
+            keys[0], cfg.num_node_features + cfg.num_edge_features, h),
+        "convs": [_linear_init(keys[1 + i], h, h) for i in range(cfg.depth)],
+        "edge_to_node": _linear_init(
+            keys[cfg.depth + 1], cfg.num_node_features + h, h),
+        "ffn": _linear_init(keys[cfg.depth + 2], h, 1),
+    }
+    if cfg.use_learnable_skip:
+        params["skip_weights"] = [jnp.ones(()) for _ in range(cfg.depth)]
+    return params
+
+
+def _linear(p: dict, x: jax.Array, dtype) -> jax.Array:
+    return (jnp.dot(x.astype(dtype), p["w"].astype(dtype),
+                    preferred_element_type=jnp.float32)
+            + p["b"].astype(jnp.float32))
+
+
+def _dropout(x, rate, rng, train):
+    if not train or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+def apply(params: dict, batch: PackedGraphBatch, cfg: CGRMPNNConfig,
+          *, train: bool = False, rng: jax.Array | None = None,
+          capture: bool = False):
+    """Forward pass -> per-graph predictions [BT] (padded slots garbage —
+    mask with ``batch.graph_mask``).  With ``capture=True`` also returns a
+    dict of intermediate activations for parity checks."""
+    act = ACTIVATIONS[cfg.activation]
+    dt = cfg.compute_dtype
+    acts: dict[str, jax.Array] = {}
+
+    x = batch.node_x
+    e = batch.edge_attr
+
+    if cfg.aggr == "mean":
+        in_deg = (batch.node_inc < batch.senders.shape[0]).sum(
+            axis=1).astype(jnp.float32)
+        inv_deg = jnp.where(in_deg > 0, 1.0 / jnp.maximum(in_deg, 1.0), 0.0)
+        norm = jnp.take(jnp.concatenate([inv_deg, jnp.zeros((1,))]),
+                        batch.senders, mode="clip")
+    else:
+        norm = jnp.ones((batch.senders.shape[0],), jnp.float32)
+
+    x_src = gather_nodes(x, batch.senders, batch.node_out)
+    h0 = act(_linear(params["edge_init"], jnp.concatenate([x_src, e], 1), dt))
+    if capture:
+        acts["h0"] = h0
+    h = h0
+
+    if train and rng is not None:
+        drop_keys = jax.random.split(rng, cfg.depth)
+    else:
+        drop_keys = [None] * cfg.depth
+
+    for l in range(cfg.depth):
+        t = dmpnn_messages(h, batch.edge_nbr, batch.rev,
+                           batch.edge_nbr_rev, norm)
+        h_new = _linear(params["convs"][l], t, dt)
+        if cfg.use_learnable_skip:
+            h = h_new + params["skip_weights"][l] * h0
+        else:
+            h = h_new + h0
+        h = _dropout(act(h), cfg.dropout_ps[l], drop_keys[l], train)
+        if capture:
+            acts[f"h_{l}"] = h
+
+    # readout: unparameterized incoming sum (conv-layer reuse, GNN.py:105)
+    s = node_incoming_sum(h, batch.node_inc, batch.receivers)
+    if cfg.aggr == "mean":
+        s = s * inv_deg[:, None]
+    hn = act(_linear(params["edge_to_node"], jnp.concatenate([x, s], 1), dt))
+    if capture:
+        acts["s"] = s
+        acts["h_node"] = hn
+
+    pooled = graph_pool_sum(hn, batch.graph_nodes, batch.graph_of_node)
+    out = _linear(params["ffn"], pooled, dt)[:, 0]
+    if capture:
+        acts["pooled"] = pooled
+        return out, acts
+    return out
