@@ -46,6 +46,11 @@ class PackedLoader:
     def __len__(self) -> int:
         return int(np.ceil(len(self.dataset) / self.batch_size))
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle order to a global epoch index so resumed runs
+        replay the exact same data order (torch DistributedSampler-style)."""
+        self._epoch = epoch
+
     def _order(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
@@ -72,7 +77,6 @@ class PackedLoader:
 
     def __iter__(self) -> Iterator[PackedGraphBatch]:
         order = list(self._order())
-        self._epoch += 1
         pending: list[int] = []
         pos = 0
         while pos < len(order) or pending:
