@@ -1,0 +1,116 @@
+"""Benchmark: sustained edges/s of the full training step (fwd+bwd+optimizer)
+for the flagship depth-4 / hidden-400 CGR-MPNN-3D on one chip.
+
+BASELINE.json metric: "edges/s/chip (MPNN fwd+bwd) at depth-4/hidden-400";
+the reference publishes no throughput numbers, so ``vs_baseline`` reports the
+fraction of the north-star 1 GEdge/s aggregate target delivered by this one
+chip.
+
+Prints exactly one JSON line:
+  {"metric": "edges_per_s_per_chip", "value": N, "unit": "edges/s",
+   "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--graphs", type=int, default=2500,
+                    help="synthetic graphs per batch (~52 edges each)")
+    ap.add_argument("--steps", type=int, default=32,
+                    help="train steps per timed scan")
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
+    ap.add_argument("--mace-dim", type=int, default=192)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force CPU (debug)")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import optax
+
+    from cgr_mpnn_3d_tpu.data import pack_graphs, plan_spec
+    from cgr_mpnn_3d_tpu.data.synthetic import synthetic_graphs
+    from cgr_mpnn_3d_tpu.models import CGRMPNNConfig, apply, init_params
+    from cgr_mpnn_3d_tpu.train import make_optimizer, sse_loss
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.device_kind}", file=sys.stderr)
+
+    nf = 78 + args.mace_dim
+    rng = np.random.default_rng(0)
+    graphs = synthetic_graphs(args.graphs, rng, node_feat_dim=nf)
+    n_edges_real = sum(g.num_edges for g in graphs)
+    spec = plan_spec(graphs, te=512, tn=256, tb=32)
+    from cgr_mpnn_3d_tpu.data.batch import packs_needed
+    spec = spec.with_packs(packs_needed(graphs, spec, fill_target=0.92))
+    batch = pack_graphs(graphs, [0.0] * len(graphs), spec)
+    print(f"batch: {n_edges_real} real edges, {spec.p} packs "
+          f"({spec.total_edges} slots, fill "
+          f"{n_edges_real / spec.total_edges:.2f})", file=sys.stderr)
+
+    cfg = CGRMPNNConfig(
+        num_node_features=nf, num_edge_features=14, depth=4,
+        hidden_sizes=(400,) * 4, dropout_ps=(0.0,) * 4,
+        compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16"
+        else jnp.float32)
+
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(1e-4, 0.0, 1.0, 100)
+    opt_state = opt.init(params)
+    batch = jax.device_put(batch)
+
+    def one_step(carry, _):
+        params, opt_state = carry
+        loss, grads = jax.value_and_grad(sse_loss)(params, batch, cfg,
+                                                   False, None)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    @jax.jit
+    def run(params, opt_state):
+        (params, opt_state), losses = jax.lax.scan(
+            one_step, (params, opt_state), None, length=args.steps)
+        return params, opt_state, losses[-1]
+
+    # compile + warmup
+    t0 = time.time()
+    params2, opt_state2, loss = run(params, opt_state)
+    jax.block_until_ready(loss)
+    print(f"compile+first run: {time.time() - t0:.1f}s, loss={float(loss):.3g}",
+          file=sys.stderr)
+
+    best = 0.0
+    for r in range(args.repeats):
+        t0 = time.time()
+        params2, opt_state2, loss = run(params, opt_state)
+        jax.block_until_ready(loss)
+        dt = time.time() - t0
+        eps = n_edges_real * args.steps / dt
+        print(f"repeat {r}: {dt:.3f}s -> {eps/1e6:.2f} Medges/s",
+              file=sys.stderr)
+        best = max(best, eps)
+
+    print(json.dumps({
+        "metric": "edges_per_s_per_chip",
+        "value": round(best, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(best / 1e9, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

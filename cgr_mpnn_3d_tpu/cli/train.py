@@ -1,0 +1,182 @@
+"""Train CLI — mirrors the reference's train.py:143-320 flag surface.
+
+Usage:
+  python -m cgr_mpnn_3d_tpu.cli.train --name CGR -d 4 --hidden_sizes 400 400 400 400 \\
+      --dropout_ps 0.1 0.1 0.1 0.1 -af ReLU -lr 1e-4 -ne 50 --weight_decay 1e-5 \\
+      -bs 64 -g 0.9 --data_path datasets
+
+Dispatch on the model name (CGR = 2D only, CGR-MPNN-3D = +MACE npz) matches
+train.py:78-96; after training the model is evaluated on the test split and
+results are merged into hyperparameter_study/<name>_hyperparameter_study.json
+(train.py:311-320).  Bugs in the reference CLI are fixed, not replicated:
+``--learnable_skip`` actually works (train.py:248 compared a bool to 'True')
+and ``--use_logger`` absent no longer crashes the metadata print
+(train.py:281 NameError).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        description="CLI tool for training the CGR MPNN 3D Graph Neural "
+                    "Network (TPU-native).")
+    ap.add_argument("-n", "--name", default="CGR",
+                    choices=["CGR", "CGR-MPNN-3D"],
+                    help="Type of the model to be trained")
+    ap.add_argument("-d", "--depth", default=3, type=int)
+    ap.add_argument("--hidden_sizes", default=None, nargs="+", type=int)
+    ap.add_argument("--dropout_ps", default=None, nargs="+", type=float)
+    ap.add_argument("-af", "--activation_fn", default="ReLU",
+                    choices=["ReLU", "SiLU", "GELU"])
+    ap.add_argument("--save_path", default="saved_models")
+    ap.add_argument("--learnable_skip", action="store_true")
+    ap.add_argument("-lr", "--learning_rate", default=1e-3, type=float)
+    ap.add_argument("-ne", "--num_epochs", default=30, type=int)
+    ap.add_argument("--weight_decay", default=0.0, type=float)
+    ap.add_argument("-bs", "--batch_size", default=32, type=int)
+    ap.add_argument("-g", "--gamma", default=1.0, type=float)
+    ap.add_argument("--data_path", default="datasets")
+    ap.add_argument("--seed", default=0, type=int)
+    ap.add_argument("--val_frequency", default=5, type=int)
+    ap.add_argument("--resume", default=None,
+                    help="checkpoint to resume from (upgrade over reference)")
+    ap.add_argument("--use_logger", action="store_true",
+                    help="log to wandb if available (JSONL always written)")
+    ap.add_argument("--compute_dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--pack_te", default=512, type=int)
+    ap.add_argument("--pack_tn", default=256, type=int)
+    ap.add_argument("--pack_tb", default=32, type=int)
+    ap.add_argument("--skip_test", action="store_true")
+    return ap
+
+
+def run_name(args) -> str:
+    """Config-encoding run name (train.py:241-255)."""
+    return "_".join([
+        args.name,
+        f"d-{args.depth}",
+        "h-" + "-".join(str(i) for i in args.hidden_sizes),
+        "p-" + "-".join(str(i) for i in args.dropout_ps),
+        args.activation_fn,
+        f"s-{'t' if args.learnable_skip else 'f'}",
+        f"l-{args.learning_rate}",
+        f"e-{args.num_epochs}",
+        f"w-{args.weight_decay}",
+        f"b-{args.batch_size}",
+        f"g-{args.gamma}",
+    ])
+
+
+def train(args) -> dict:
+    import jax.numpy as jnp
+
+    from ..data import ChemDataset, plan_spec
+    from ..models import CGRMPNNConfig
+    from ..train import MetricsLogger, RxnGraphTrainer
+
+    data_path = Path(args.data_path)
+    train_csv = data_path / "train.csv"
+    val_csv = data_path / "val.csv"
+    missing = [s for s, p in [("train", train_csv), ("val", val_csv)]
+               if not p.exists()]
+    if missing:
+        from ..data.preprocess import PreProcessTransition1x
+        PreProcessTransition1x(
+            fpath_processed=str(data_path)).start_data_acquisition(missing)
+
+    if args.name == "CGR":
+        train_data = ChemDataset(str(train_csv))
+        val_data = ChemDataset(str(val_csv))
+    else:  # CGR-MPNN-3D
+        train_data = ChemDataset(str(train_csv),
+                                 data_npz_path=str(data_path / "train.npz"))
+        val_data = ChemDataset(str(val_csv),
+                               data_npz_path=str(data_path / "val.npz"))
+
+    cfg = CGRMPNNConfig(
+        num_node_features=train_data.num_node_features,
+        num_edge_features=train_data.num_edge_features,
+        depth=args.depth,
+        hidden_sizes=tuple(args.hidden_sizes),
+        dropout_ps=tuple(args.dropout_ps),
+        activation=args.activation_fn,
+        use_learnable_skip=args.learnable_skip,
+        compute_dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16"
+        else jnp.float32,
+    )
+
+    print("Featurizing training set...")
+    train_data.prefeaturize()
+    val_data.prefeaturize()
+    graphs = [train_data.graph(i) for i in range(len(train_data))]
+    spec = plan_spec(graphs, te=args.pack_te, tn=args.pack_tn,
+                     tb=args.pack_tb)
+
+    name = run_name(args)
+    logger = MetricsLogger(name, config=vars_config(args),
+                           use_wandb=args.use_logger)
+    trainer = RxnGraphTrainer(
+        name=name, cfg=cfg, train_data=train_data, val_data=val_data,
+        spec=spec, lr=args.learning_rate, weight_decay=args.weight_decay,
+        gamma=args.gamma, num_epochs=args.num_epochs,
+        batch_size=args.batch_size, val_frequency=args.val_frequency,
+        model_save_dir=args.save_path, seed=args.seed, logger=logger,
+        resume_from=args.resume)
+    return trainer.train()
+
+
+def vars_config(args) -> dict:
+    return {
+        "depth": args.depth, "hidden_sizes": args.hidden_sizes,
+        "dropout_ps": args.dropout_ps, "activation_fn": args.activation_fn,
+        "learnable_skip": args.learnable_skip, "lr": args.learning_rate,
+        "num_epochs": args.num_epochs, "weight_decay": args.weight_decay,
+        "batch_size": args.batch_size, "gamma": args.gamma,
+    }
+
+
+def main(argv=None) -> None:
+    args = build_arg_parser().parse_args(argv)
+    if args.hidden_sizes is None:
+        args.hidden_sizes = [300] * args.depth
+    if args.dropout_ps is None:
+        args.dropout_ps = [0.02] * args.depth
+    if len(args.hidden_sizes) == 1:
+        args.hidden_sizes = args.hidden_sizes * args.depth
+    if len(args.dropout_ps) == 1:
+        args.dropout_ps = args.dropout_ps * args.depth
+
+    name = run_name(args)
+    meta = {name: {"metadata": vars_config(args)}}
+    print("Metadata of the training:")
+    for k, v in vars_config(args).items():
+        print(f"{k}: {v}")
+
+    train_result = train(args)
+    meta[name].update(**{k: v for k, v in train_result.items()})
+
+    if not args.skip_test:
+        from .test import test
+        test_result = test(args.name, f"{args.save_path}/{name}.npz",
+                           data_path=args.data_path, plot_results=False)
+        meta[name].update(**{k: float(v) for k, v in test_result.items()
+                             if np.isscalar(v)})
+
+    from ..utils import json_dumper
+    out_dir = Path("hyperparameter_study")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    json_dumper(str(out_dir / f"{args.name}_hyperparameter_study.json"), meta)
+    print(json.dumps({k: v for k, v in meta[name].items()
+                      if k != "metadata"}, default=str, indent=2))
+
+
+if __name__ == "__main__":
+    main()

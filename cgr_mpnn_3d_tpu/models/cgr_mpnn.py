@@ -29,6 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.batch import PackedGraphBatch, PackSpec
+from ..ops.dispatch import (PallasImpl, dmpnn_messages_p, gather_nodes_p,
+                            graph_pool_sum_p, node_incoming_sum_p)
 from ..ops.segment import (dmpnn_messages, gather_nodes, graph_pool_sum,
                            node_incoming_sum)
 
@@ -54,6 +56,8 @@ class CGRMPNNConfig:
     aggr: str = "add"                      # 'add' | 'mean' (DMPNNConv aggr)
     use_learnable_skip: bool = False
     compute_dtype: Any = jnp.float32       # bf16 on TPU for speed; f32 parity
+    use_pallas: bool = False               # one-hot SpMM kernels (needs spec)
+    pallas_interpret: bool = False         # kernel interpreter (CPU tests)
 
     def __post_init__(self):
         object.__setattr__(self, "hidden_sizes",
@@ -119,14 +123,34 @@ def _dropout(x, rate, rng, train):
 
 
 def apply(params: dict, batch: PackedGraphBatch, cfg: CGRMPNNConfig,
-          *, train: bool = False, rng: jax.Array | None = None,
-          capture: bool = False):
+          spec: PackSpec | None = None, *, train: bool = False,
+          rng: jax.Array | None = None, capture: bool = False):
     """Forward pass -> per-graph predictions [BT] (padded slots garbage —
     mask with ``batch.graph_mask``).  With ``capture=True`` also returns a
-    dict of intermediate activations for parity checks."""
+    dict of intermediate activations for parity checks.
+
+    When ``cfg.use_pallas`` and ``spec`` is given (and aggr='add'), the
+    gather ops are replaced by the block-dense one-hot SpMM TPU kernels."""
     act = ACTIVATIONS[cfg.activation]
     dt = cfg.compute_dtype
     acts: dict[str, jax.Array] = {}
+
+    use_pallas = cfg.use_pallas and spec is not None and cfg.aggr == "add"
+    if use_pallas:
+        impl = PallasImpl(p=spec.p,
+                          mat_dtype=(jnp.bfloat16
+                                     if dt == jnp.bfloat16 else jnp.float32),
+                          interpret=cfg.pallas_interpret)
+        _gather_nodes = lambda x_, s_, o_: gather_nodes_p(impl, x_, s_, o_)
+        _messages = lambda h_, n_, r_, nr_, norm_: dmpnn_messages_p(
+            impl, h_, n_, r_, nr_)
+        _incoming = lambda h_, ni_, rc_: node_incoming_sum_p(impl, h_, ni_, rc_)
+        _pool = lambda hn_, gn_, go_: graph_pool_sum_p(impl, hn_, gn_, go_)
+    else:
+        _gather_nodes = gather_nodes
+        _messages = dmpnn_messages
+        _incoming = node_incoming_sum
+        _pool = graph_pool_sum
 
     x = batch.node_x
     e = batch.edge_attr
@@ -140,7 +164,7 @@ def apply(params: dict, batch: PackedGraphBatch, cfg: CGRMPNNConfig,
     else:
         norm = jnp.ones((batch.senders.shape[0],), jnp.float32)
 
-    x_src = gather_nodes(x, batch.senders, batch.node_out)
+    x_src = _gather_nodes(x, batch.senders, batch.node_out)
     h0 = act(_linear(params["edge_init"], jnp.concatenate([x_src, e], 1), dt))
     if capture:
         acts["h0"] = h0
@@ -152,8 +176,8 @@ def apply(params: dict, batch: PackedGraphBatch, cfg: CGRMPNNConfig,
         drop_keys = [None] * cfg.depth
 
     for l in range(cfg.depth):
-        t = dmpnn_messages(h, batch.edge_nbr, batch.rev,
-                           batch.edge_nbr_rev, norm)
+        t = _messages(h, batch.edge_nbr, batch.rev,
+                      batch.edge_nbr_rev, norm)
         h_new = _linear(params["convs"][l], t, dt)
         if cfg.use_learnable_skip:
             h = h_new + params["skip_weights"][l] * h0
@@ -164,7 +188,7 @@ def apply(params: dict, batch: PackedGraphBatch, cfg: CGRMPNNConfig,
             acts[f"h_{l}"] = h
 
     # readout: unparameterized incoming sum (conv-layer reuse, GNN.py:105)
-    s = node_incoming_sum(h, batch.node_inc, batch.receivers)
+    s = _incoming(h, batch.node_inc, batch.receivers)
     if cfg.aggr == "mean":
         s = s * inv_deg[:, None]
     hn = act(_linear(params["edge_to_node"], jnp.concatenate([x, s], 1), dt))
@@ -172,7 +196,7 @@ def apply(params: dict, batch: PackedGraphBatch, cfg: CGRMPNNConfig,
         acts["s"] = s
         acts["h_node"] = hn
 
-    pooled = graph_pool_sum(hn, batch.graph_nodes, batch.graph_of_node)
+    pooled = _pool(hn, batch.graph_nodes, batch.graph_of_node)
     out = _linear(params["ffn"], pooled, dt)[:, 0]
     if capture:
         acts["pooled"] = pooled

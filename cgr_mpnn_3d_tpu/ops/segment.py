@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["gather_nodes", "dmpnn_messages", "node_incoming_sum",
-           "graph_pool_sum", "ext_zero_row"]
+           "node_partial_sum", "graph_pool_sum", "gather_rev",
+           "ext_zero_row"]
 
 
 def ext_zero_row(h: jax.Array) -> jax.Array:
@@ -113,6 +114,55 @@ def _nis_bwd(res, g):
 
 
 node_incoming_sum.defvjp(_nis_fwd, _nis_bwd)
+
+
+# ---------------------------------------------------------------------------
+# reverse-edge lookup h[rev]: rev is an involution on real edges, so the
+# adjoint of this gather is the same gather (no scatter in bwd).
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def gather_rev(h, rev):
+    return _take(ext_zero_row(h), rev)
+
+
+def _gather_rev_fwd(h, rev):
+    return gather_rev(h, rev), (rev,)
+
+
+def _gather_rev_bwd(res, g):
+    (rev,) = res
+    return _take(ext_zero_row(g), rev), None
+
+
+gather_rev.defvjp(_gather_rev_fwd, _gather_rev_bwd)
+
+
+# ---------------------------------------------------------------------------
+# edge-partitioned partial incoming sum (parallel/edge_partition.py): same
+# math as node_incoming_sum but over a *shard-local* edge array; the caller
+# lax.psum's the partials over the 'ep' mesh axis (the boundary exchange).
+# Distinct op because the backward gather uses shard-local receiver ids.
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def node_partial_sum(h_local, node_inc_local, receivers_local):
+    return _take(ext_zero_row(h_local), node_inc_local).sum(axis=1)
+
+
+def _nps_fwd(h_local, node_inc_local, receivers_local):
+    out = node_partial_sum(h_local, node_inc_local, receivers_local)
+    return out, (receivers_local,)
+
+
+def _nps_bwd(res, g):
+    (receivers_local,) = res
+    # dL/dh_local[e] = g[recv(e)]  (g covers all nodes; recv ids are global
+    # node ids, sentinel = num_nodes)
+    return _take(ext_zero_row(g), receivers_local), None, None
+
+
+node_partial_sum.defvjp(_nps_fwd, _nps_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,11 @@
+"""Parallelism: device meshes, data parallelism, edge partitioning."""
+
+from .data_parallel import (make_dp_eval_step, make_dp_train_step,
+                            shard_stacked_batch, stack_batches)
+from .edge_partition import (EdgeShardedBatch, ep_forward, make_ep_train_step,
+                             shard_edges)
+from .mesh import P, make_mesh
+
+__all__ = ["make_dp_eval_step", "make_dp_train_step", "shard_stacked_batch",
+           "stack_batches", "EdgeShardedBatch", "ep_forward",
+           "make_ep_train_step", "shard_edges", "P", "make_mesh"]

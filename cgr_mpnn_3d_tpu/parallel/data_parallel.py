@@ -1,0 +1,99 @@
+"""Data parallelism over the 'dp' mesh axis via shard_map.
+
+Each device processes its own :class:`PackedGraphBatch` (stacked on a leading
+device axis); the per-device sum-of-squared-errors loss and the gradients are
+psum'd over the mesh, so the update equals single-device training on the
+concatenated batch (verified in tests/test_parallel.py).
+
+shard_map rather than GSPMD sharding because the packed batch's index arrays
+are device-local — logically-global sharded indices would make XLA insert
+all-gathers around every gather.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding
+
+from ..data.batch import PackedGraphBatch
+from ..models.cgr_mpnn import CGRMPNNConfig, apply
+from ..train.trainer import TrainState
+from .mesh import P
+
+__all__ = ["stack_batches", "shard_stacked_batch", "make_dp_train_step",
+           "make_dp_eval_step"]
+
+
+def stack_batches(batches: list[PackedGraphBatch]) -> PackedGraphBatch:
+    """Stack per-device batches on a new leading axis [n_dev, ...]."""
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *batches)
+
+
+def shard_stacked_batch(stacked: PackedGraphBatch, mesh: Mesh
+                        ) -> PackedGraphBatch:
+    """Place a stacked batch with axis 0 sharded over ('dp','ep')."""
+    sharding = NamedSharding(mesh, P(("dp", "ep")))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), stacked)
+
+
+def make_dp_train_step(optimizer: optax.GradientTransformation,
+                       cfg: CGRMPNNConfig, mesh: Mesh):
+    """Returns jitted ``step(state, stacked_batch) -> (state, sum_loss)``.
+
+    ``stacked_batch`` leaves have leading axis n_dp*n_ep (both mesh axes are
+    used as flat data parallelism here; use edge_partition for genuine ep).
+    """
+    axes = ("dp", "ep")
+
+    def per_device(state: TrainState, batch: PackedGraphBatch):
+        batch = jax.tree_util.tree_map(lambda x: x[0], batch)  # unstack
+        rng = jax.random.fold_in(state.rng, jax.lax.axis_index("dp") *
+                                 jax.lax.axis_size("ep") +
+                                 jax.lax.axis_index("ep"))
+        rng_next, sub = jax.random.split(rng)
+
+        def loss_fn(params):
+            preds = apply(params, batch, cfg, train=True, rng=sub)
+            err = (preds - batch.labels) * batch.graph_mask
+            return jnp.sum(err * err)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        loss = jax.lax.psum(loss, axes)
+        grads = jax.lax.psum(grads, axes)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_rng, _ = jax.random.split(state.rng)
+        return TrainState(params, opt_state, state.step + 1, new_rng), loss
+
+    batch_spec = jax.tree_util.tree_map(
+        lambda _: P(("dp", "ep")), PackedGraphBatch(*[0] * 13))
+    smapped = jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), batch_spec),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(smapped, donate_argnums=(0,))
+
+
+def make_dp_eval_step(cfg: CGRMPNNConfig, mesh: Mesh):
+    def per_device(params, batch: PackedGraphBatch):
+        batch = jax.tree_util.tree_map(lambda x: x[0], batch)
+        preds = apply(params, batch, cfg, train=False)
+        err = (preds - batch.labels) * batch.graph_mask
+        return jax.lax.psum(jnp.sum(err * err), ("dp", "ep"))
+
+    batch_spec = jax.tree_util.tree_map(
+        lambda _: P(("dp", "ep")), PackedGraphBatch(*[0] * 13))
+    smapped = jax.shard_map(per_device, mesh=mesh,
+                            in_specs=(P(), batch_spec), out_specs=P(),
+                            check_vma=False)
+    return jax.jit(smapped)

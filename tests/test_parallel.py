@@ -1,0 +1,148 @@
+"""Multi-device tests on the 8-virtual-CPU mesh: data-parallel and
+edge-partitioned training must match single-device training exactly
+(same total loss, same parameter update)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cgr_mpnn_3d_tpu.chem import RxnGraph
+from cgr_mpnn_3d_tpu.data import pack_graphs, plan_spec
+from cgr_mpnn_3d_tpu.models import CGRMPNNConfig, apply, init_params
+from cgr_mpnn_3d_tpu.parallel import (EdgeShardedBatch, ep_forward,
+                                      make_dp_train_step, make_ep_train_step,
+                                      make_mesh, shard_edges, stack_batches)
+from cgr_mpnn_3d_tpu.train import TrainState, make_optimizer, sse_loss
+
+SMILES = ["CCO>>CC=O", "CC(=O)N>>CC(=O)N", "C=CC=C>>C=CC=C",
+          "[N:1]([H:2])([H:3])[H:4]>>[N:1]([H:2])[H:3].[H:4]",
+          "CCO>C>CCO", "O>C>CO", "N>C>CN", "CC>>CC"]
+LABELS = [float(i + 1) for i in range(len(SMILES))]
+
+
+@pytest.fixture(scope="module")
+def graphs():
+    return [RxnGraph(s).arrays for s in SMILES]
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return CGRMPNNConfig(num_node_features=78, num_edge_features=14,
+                         depth=2, hidden_sizes=(16, 16),
+                         dropout_ps=(0.0, 0.0))
+
+
+def _single_device_update(graphs, cfg, params):
+    spec = plan_spec(graphs, te=128, tn=64, tb=8).with_packs(1)
+    batch = pack_graphs(graphs, LABELS, spec)
+    opt = make_optimizer(1e-3, 0.0, 1.0, 1)
+    opt_state = opt.init(params)
+    loss, grads = jax.value_and_grad(
+        lambda p: sse_loss(p, batch, cfg, False, None))(params)
+    updates, _ = opt.update(grads, opt_state, params)
+    import optax
+    return float(loss), optax.apply_updates(params, updates), grads
+
+
+class TestDataParallel:
+    def test_dp_matches_single_device(self, graphs, cfg):
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        loss_ref, params_ref, grads_ref = _single_device_update(
+            graphs, cfg, params)
+
+        mesh = make_mesh(n_dp=4, n_ep=1, devices=jax.devices()[:4])
+        spec = plan_spec(graphs, te=64, tn=32, tb=2).with_packs(1)
+        subbatches = [pack_graphs(graphs[2 * i:2 * i + 2],
+                                  LABELS[2 * i:2 * i + 2], spec)
+                      for i in range(4)]
+        stacked = stack_batches(subbatches)
+
+        opt = make_optimizer(1e-3, 0.0, 1.0, 1)
+        # dropout 0 => train rng irrelevant
+        cfg_nodrop = cfg
+        step = make_dp_train_step(opt, cfg_nodrop, mesh)
+        state = TrainState(params, opt.init(params),
+                           jnp.zeros((), jnp.int32), jax.random.PRNGKey(1))
+        new_state, loss = step(state, stacked)
+        np.testing.assert_allclose(float(loss), loss_ref, rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(new_state.params),
+                        jax.tree_util.tree_leaves(params_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
+
+class TestEdgePartition:
+    def test_shard_edges_structure(self, graphs):
+        b = shard_edges(graphs, LABELS, n_ep=4, d=8)
+        assert b.edge_attr.shape[0] == 4
+        # all real edges present exactly once across shards
+        total_real = sum(int((b.senders[k] < b.node_x.shape[1]).sum())
+                         for k in range(4))
+        assert total_real == sum(g.num_edges for g in graphs)
+        # rev stays shard-local and is an involution
+        for k in range(4):
+            EK = b.rev.shape[1]
+            real = np.nonzero(b.rev[k] < EK)[0]
+            for e in real:
+                assert b.rev[k][b.rev[k][e]] == e
+
+    def test_ep_forward_matches_single_device(self, graphs, cfg):
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        # single-device predictions
+        spec = plan_spec(graphs, te=128, tn=64, tb=8).with_packs(1)
+        batch = pack_graphs(graphs, LABELS, spec)
+        preds_ref = np.asarray(apply(params, batch, cfg))
+        mask = np.asarray(batch.graph_mask) > 0
+        by_label_ref = dict(zip(np.asarray(batch.labels)[mask],
+                                preds_ref[mask]))
+
+        mesh = make_mesh(n_dp=1, n_ep=4, devices=jax.devices()[:4])
+        eb = shard_edges(graphs, LABELS, n_ep=4, d=8)
+
+        from jax.sharding import PartitionSpec as P
+        batch_spec = jax.tree_util.tree_map(lambda _: P("ep"),
+                                            EdgeShardedBatch(*[0] * 11))
+
+        def fwd(b):
+            local = jax.tree_util.tree_map(lambda v: v[0], b)
+            sse, preds = ep_forward(params, local, cfg, axis="ep")
+            return jax.lax.psum(sse, "ep"), preds
+
+        sse, preds = jax.jit(jax.shard_map(
+            fwd, mesh=mesh, in_specs=(batch_spec,),
+            out_specs=(P(), P("ep")), check_vma=False))(eb)
+
+        preds = np.asarray(preds).reshape(4, -1)
+        for k in range(4):
+            m = np.asarray(eb.graph_mask[k]) > 0
+            for lbl, pred in zip(np.asarray(eb.labels[k])[m],
+                                 preds[k][m]):
+                np.testing.assert_allclose(pred, by_label_ref[lbl],
+                                           rtol=1e-4, atol=1e-4)
+        sse_ref = sum((by_label_ref[l] - l) ** 2 for l in by_label_ref)
+        np.testing.assert_allclose(float(sse), sse_ref, rtol=1e-4)
+
+    def test_ep_train_step_matches_single_device(self, graphs, cfg):
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        loss_ref, params_ref, _ = _single_device_update(graphs, cfg, params)
+
+        mesh = make_mesh(n_dp=2, n_ep=4, devices=jax.devices())
+        # dp shard 0 gets first half of graphs, shard 1 the rest
+        eb0 = shard_edges(graphs[:4], LABELS[:4], n_ep=4, d=8,
+                          ek=64, nt=64, bk=2, dn=16)
+        eb1 = shard_edges(graphs[4:], LABELS[4:], n_ep=4, d=8,
+                          ek=64, nt=64, bk=2, dn=16)
+        stacked = jax.tree_util.tree_map(
+            lambda a, b: np.stack([a, b], axis=0), eb0, eb1)
+
+        opt = make_optimizer(1e-3, 0.0, 1.0, 1)
+        step = make_ep_train_step(opt, cfg, mesh)
+        state = TrainState(params, opt.init(params),
+                           jnp.zeros((), jnp.int32), jax.random.PRNGKey(1))
+        new_state, loss = step(state, stacked)
+        np.testing.assert_allclose(float(loss), loss_ref, rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(new_state.params),
+                        jax.tree_util.tree_leaves(params_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
