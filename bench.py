@@ -31,6 +31,8 @@ def main() -> None:
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
     ap.add_argument("--mace-dim", type=int, default=192)
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="use the XLA gather path instead of Pallas kernels")
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU (debug)")
     args = ap.parse_args()
@@ -44,7 +46,7 @@ def main() -> None:
     from cgr_mpnn_3d_tpu.data import pack_graphs, plan_spec
     from cgr_mpnn_3d_tpu.data.synthetic import synthetic_graphs
     from cgr_mpnn_3d_tpu.models import CGRMPNNConfig, apply, init_params
-    from cgr_mpnn_3d_tpu.train import make_optimizer, sse_loss
+    from cgr_mpnn_3d_tpu.train import make_optimizer
 
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind}", file=sys.stderr)
@@ -61,21 +63,28 @@ def main() -> None:
           f"({spec.total_edges} slots, fill "
           f"{n_edges_real / spec.total_edges:.2f})", file=sys.stderr)
 
+    use_pallas = not args.no_pallas and not args.cpu
     cfg = CGRMPNNConfig(
         num_node_features=nf, num_edge_features=14, depth=4,
         hidden_sizes=(400,) * 4, dropout_ps=(0.0,) * 4,
         compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16"
-        else jnp.float32)
+        else jnp.float32,
+        use_pallas=use_pallas)
+    print(f"pallas: {use_pallas}", file=sys.stderr)
 
     params = init_params(jax.random.PRNGKey(0), cfg)
     opt = make_optimizer(1e-4, 0.0, 1.0, 100)
     opt_state = opt.init(params)
     batch = jax.device_put(batch)
 
+    def loss_fn(params):
+        preds = apply(params, batch, cfg, spec)
+        err = (preds - batch.labels) * batch.graph_mask
+        return jnp.sum(err * err)
+
     def one_step(carry, _):
         params, opt_state = carry
-        loss, grads = jax.value_and_grad(sse_loss)(params, batch, cfg,
-                                                   False, None)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state), loss

@@ -1,0 +1,154 @@
+"""Hyperparameter sweep driver + evaluator (reference C15:
+hyperparameter_tuning.py:8-101, wandb_evaluator.py:5-75,
+hyperparameter_study/sweep_config.json).
+
+The reference delegates search to wandb's bayes sweeps; this driver runs a
+local random/grid search over the same JSON search-space format (values /
+log_uniform_values / uniform distributions), executes ``train()`` per trial,
+records every trial to a JSONL study file, and the evaluator ranks trials by
+validation loss — no SaaS dependency (wandb still attaches per-run when
+``--use_logger`` is passed through).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+__all__ = ["sample_config", "run_sweep", "evaluate_sweep"]
+
+
+def sample_config(space: dict, rng: np.random.Generator) -> dict:
+    """Draw one trial from a sweep_config.json-style parameter space."""
+    out = {}
+    for name, spec in space.items():
+        if "value" in spec:
+            out[name] = spec["value"]
+        elif "values" in spec:
+            out[name] = spec["values"][int(rng.integers(len(spec["values"])))]
+        elif spec.get("distribution") == "log_uniform_values":
+            lo, hi = np.log(spec["min"]), np.log(spec["max"])
+            out[name] = float(np.exp(rng.uniform(lo, hi)))
+        elif spec.get("distribution") == "uniform":
+            out[name] = float(rng.uniform(spec["min"], spec["max"]))
+        else:
+            raise ValueError(f"unsupported parameter spec for {name}: {spec}")
+    return out
+
+
+def run_sweep(sweep_config: dict, count: int, study_path: str | Path,
+              seed: int = 0, train_fn=None) -> list[dict]:
+    """Run ``count`` trials; append one JSON line per trial to
+    ``study_path``.  ``train_fn(config) -> result dict`` defaults to the real
+    training entry (cli/train.py)."""
+    space = sweep_config["parameters"]
+    rng = np.random.default_rng(seed)
+    study_path = Path(study_path)
+    study_path.parent.mkdir(parents=True, exist_ok=True)
+
+    if train_fn is None:
+        train_fn = _default_train_fn
+
+    results = []
+    for trial in range(count):
+        config = sample_config(space, rng)
+        run_id = f"t{trial:03d}_{int(time.time())}"
+        print(f"=== sweep trial {trial + 1}/{count}: {config}")
+        try:
+            metrics = train_fn(config)
+            status = "ok"
+        except Exception as e:  # record and continue, like wandb agents
+            metrics = {"error": str(e)}
+            status = "failed"
+        rec = {"run_id": run_id, "status": status, "config": config,
+               **{k: v for k, v in metrics.items()
+                  if isinstance(v, (int, float, str, list))}}
+        with open(study_path, "a") as f:
+            f.write(json.dumps(rec, default=float) + "\n")
+        results.append(rec)
+    return results
+
+
+def _default_train_fn(config: dict) -> dict:
+    from .train import build_arg_parser, train
+
+    args = build_arg_parser().parse_args([])
+    args.name = config.get("name", "CGR-MPNN-3D")
+    args.depth = int(config.get("depth", 3))
+    hs = config.get("hidden_sizes", [300])
+    args.hidden_sizes = (hs * args.depth)[: args.depth] if len(hs) == 1 \
+        else list(hs)
+    dp = config.get("dropout_ps", [0.02])
+    args.dropout_ps = (dp * args.depth)[: args.depth] if len(dp) == 1 \
+        else list(dp)
+    args.learning_rate = float(config.get("lr", 1e-3))
+    args.num_epochs = int(config.get("num_epochs", 30))
+    args.weight_decay = float(config.get("weight_decay", 0.0))
+    args.batch_size = int(config.get("batch_size", 32))
+    args.gamma = float(config.get("gamma", 1.0))
+    args.learnable_skip = bool(config.get("learnable_skip", False))
+    args.data_path = config.get("data_path", "datasets")
+    args.save_path = config.get("save_path", "saved_models")
+    args.skip_test = True
+    result = train(args)
+    return {"train_loss": result["train_losses"][-1],
+            "val_loss": result["val_losses"][-1],
+            "train_losses": result["train_losses"],
+            "val_losses": result["val_losses"]}
+
+
+def evaluate_sweep(study_path: str | Path,
+                   output_file: str | None = None) -> list[dict]:
+    """Rank recorded trials by val_loss (wandb_evaluator.py:21-63)."""
+    results = []
+    with open(study_path) as f:
+        for line in f:
+            if line.strip():
+                results.append(json.loads(line))
+    results.sort(key=lambda r: r.get("val_loss")
+                 if r.get("val_loss") is not None else float("inf"))
+
+    print("\nSweep Evaluation Results:")
+    for r in results:
+        print(f"Run ID: {r['run_id']}, Train Loss: {r.get('train_loss')}, "
+              f"Val Loss: {r.get('val_loss')}")
+        print(f"Configuration: {r.get('config')}")
+        print("-" * 50)
+    if results:
+        best = results[0]
+        print("\nBest Run:")
+        print(f"Run ID: {best['run_id']}, Train Loss: "
+              f"{best.get('train_loss')}, Val Loss: {best.get('val_loss')}")
+    if output_file:
+        with open(output_file, "w") as f:
+            json.dump(results, f, indent=4, default=float)
+    return results
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description="Local hyperparameter sweep")
+    ap.add_argument("-p", "--path_input_file",
+                    default="hyperparameter_study/sweep_config.json")
+    ap.add_argument("-c", "--count", default=20, type=int)
+    ap.add_argument("--study", default="hyperparameter_study/sweep.jsonl")
+    ap.add_argument("--seed", default=0, type=int)
+    ap.add_argument("--evaluate", action="store_true",
+                    help="only rank an existing study file")
+    ap.add_argument("-o", "--output_file", default=None)
+    args = ap.parse_args(argv)
+
+    if args.evaluate:
+        evaluate_sweep(args.study, args.output_file)
+        return
+    with open(args.path_input_file) as f:
+        sweep_config = json.load(f)
+    run_sweep(sweep_config, args.count, args.study, seed=args.seed)
+    evaluate_sweep(args.study, args.output_file)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,213 @@
+"""CLI-surface tests: train->test->predict round trip on the demo set
+(CGR and CGR-MPNN-3D with synthetic descriptors), sweep driver/evaluator,
+preprocessing pure functions."""
+
+import json
+import os
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+DEMO = REPO / "examples" / "demo.csv"
+
+
+@pytest.fixture
+def datasets(tmp_path):
+    """A datasets/ dir with train/val/test = demo.csv + synthetic npz."""
+    from cgr_mpnn_3d_tpu.data.descriptors import synthetic_descriptors_npz
+    d = tmp_path / "datasets"
+    d.mkdir()
+    for split in ["train", "val", "test"]:
+        shutil.copy(DEMO, d / f"{split}.csv")
+        synthetic_descriptors_npz(d / f"{split}.csv", d / f"{split}.npz",
+                                  dim_per_structure=4)
+    return d
+
+
+class TestTrainCLI:
+    def test_cgr_train_and_test(self, datasets, tmp_path, monkeypatch):
+        from cgr_mpnn_3d_tpu.cli.train import main
+        monkeypatch.chdir(tmp_path)
+        main(["--name", "CGR", "-d", "2", "--hidden_sizes", "16",
+              "--dropout_ps", "0.0", "-ne", "2", "-bs", "4",
+              "--data_path", str(datasets),
+              "--save_path", str(tmp_path / "saved"),
+              "--val_frequency", "1"])
+        study = tmp_path / "hyperparameter_study" / \
+            "CGR_hyperparameter_study.json"
+        assert study.exists()
+        data = json.load(open(study))
+        (name, payload), = data.items()
+        assert "test_losses" in payload
+        assert "train_losses" in payload
+
+    def test_cgr_mpnn_3d_with_npz(self, datasets, tmp_path, monkeypatch):
+        from cgr_mpnn_3d_tpu.cli.train import main
+        monkeypatch.chdir(tmp_path)
+        main(["--name", "CGR-MPNN-3D", "-d", "2", "--hidden_sizes", "16",
+              "--dropout_ps", "0.0", "-ne", "1", "-bs", "4",
+              "--data_path", str(datasets),
+              "--save_path", str(tmp_path / "saved"), "--skip_test",
+              "--val_frequency", "1"])
+        ckpts = list((tmp_path / "saved").glob("CGR-MPNN-3D*.npz"))
+        assert ckpts
+        # sidecar records the widened feature dim (78 + 3*4)
+        meta = json.load(open(ckpts[0].with_suffix(".json")))
+        assert meta["model"]["num_node_features"] == 78 + 12
+
+
+class TestPredictCLI:
+    def test_predict_with_precomputed_npz(self, datasets, tmp_path,
+                                          monkeypatch):
+        from cgr_mpnn_3d_tpu.cli.train import main as train_main
+        from cgr_mpnn_3d_tpu.cli.predict import activation_energy_prediction
+        monkeypatch.chdir(tmp_path)
+        train_main(["--name", "CGR-MPNN-3D", "-d", "2", "--hidden_sizes",
+                    "16", "--dropout_ps", "0.0", "-ne", "1", "-bs", "4",
+                    "--data_path", str(datasets),
+                    "--save_path", str(tmp_path / "saved"), "--skip_test",
+                    "--val_frequency", "1"])
+        ckpt = next((tmp_path / "saved").glob("CGR-MPNN-3D*.npz"))
+        out = tmp_path / "results.txt"
+        results = activation_energy_prediction(
+            input_smiles=str(datasets / "test.csv"),
+            npz_path=str(datasets / "test.npz"),
+            output_results=str(out),
+            model_path=str(ckpt),
+            print_results=True, store_results=True)
+        assert len(results) == 10
+        text = out.read_text()
+        assert "Activation Energy [kcal/mol]" in text
+        assert "| Reaction ID |" in text
+
+    def test_predict_json_format(self, datasets, tmp_path, monkeypatch):
+        from cgr_mpnn_3d_tpu.cli.train import main as train_main
+        from cgr_mpnn_3d_tpu.cli.predict import activation_energy_prediction
+        monkeypatch.chdir(tmp_path)
+        train_main(["--name", "CGR-MPNN-3D", "-d", "2", "--hidden_sizes",
+                    "16", "--dropout_ps", "0.0", "-ne", "1", "-bs", "4",
+                    "--data_path", str(datasets),
+                    "--save_path", str(tmp_path / "saved"), "--skip_test",
+                    "--val_frequency", "1"])
+        ckpt = next((tmp_path / "saved").glob("CGR-MPNN-3D*.npz"))
+        out = tmp_path / "r.txt"
+        activation_energy_prediction(
+            input_smiles=str(datasets / "test.csv"),
+            npz_path=str(datasets / "test.npz"),
+            output_results=str(out), model_path=str(ckpt),
+            store_results=True, output_format="json")
+        data = json.load(open(out.with_suffix(".json")))
+        assert len(data) == 10 and "Activation Energy" in data[0]
+
+
+class TestSweep:
+    def test_sample_config_distributions(self):
+        from cgr_mpnn_3d_tpu.cli.sweep import sample_config
+        space = {
+            "depth": {"values": [2, 3, 4]},
+            "lr": {"distribution": "log_uniform_values",
+                   "min": 1e-5, "max": 1e-2},
+            "gamma": {"distribution": "uniform", "min": 0.9, "max": 1.0},
+            "name": {"value": "CGR"},
+        }
+        rng = np.random.default_rng(0)
+        for _ in range(20):
+            c = sample_config(space, rng)
+            assert c["depth"] in (2, 3, 4)
+            assert 1e-5 <= c["lr"] <= 1e-2
+            assert 0.9 <= c["gamma"] <= 1.0
+            assert c["name"] == "CGR"
+
+    def test_run_and_evaluate(self, tmp_path):
+        from cgr_mpnn_3d_tpu.cli.sweep import evaluate_sweep, run_sweep
+        space = {"parameters": {"lr": {"values": [0.1, 0.2]}}}
+        calls = []
+
+        def fake_train(config):
+            calls.append(config)
+            return {"train_loss": config["lr"], "val_loss": config["lr"] * 2}
+
+        study = tmp_path / "study.jsonl"
+        run_sweep(space, 5, study, train_fn=fake_train)
+        assert len(calls) == 5
+        ranked = evaluate_sweep(study, str(tmp_path / "out.json"))
+        assert ranked[0]["val_loss"] <= ranked[-1]["val_loss"]
+        assert (tmp_path / "out.json").exists()
+
+    def test_failed_trials_recorded(self, tmp_path):
+        from cgr_mpnn_3d_tpu.cli.sweep import run_sweep
+
+        def bad_train(config):
+            raise RuntimeError("boom")
+
+        study = tmp_path / "study.jsonl"
+        out = run_sweep({"parameters": {}}, 2, study, train_fn=bad_train)
+        assert all(r["status"] == "failed" for r in out)
+
+
+class TestPreprocessPure:
+    def test_log_to_xyz(self, tmp_path):
+        from cgr_mpnn_3d_tpu.data.preprocess import process_log_to_xyz
+        log = tmp_path / "r000001.log"
+        log.write_text(
+            "junk\n NAtoms \n 3 other\nmore\n$molecule\n0 1\n"
+            "C 0.0 0.0 0.0\nH 1.0 0.0 0.0\nH 0.0 1.0 0.0\nrest\n")
+        xyz = tmp_path / "r000001.xyz"
+        assert process_log_to_xyz(log, xyz)
+        lines = xyz.read_text().splitlines()
+        assert lines[0] == "3"
+        assert lines[2].split()[0] == "C"
+
+    def test_log_to_xyz_bad_file(self, tmp_path, capsys):
+        from cgr_mpnn_3d_tpu.data.preprocess import process_log_to_xyz
+        bad = tmp_path / "nope.log"
+        assert not process_log_to_xyz(bad, tmp_path / "o.xyz")
+        assert "Error processing" in capsys.readouterr().out
+
+    def test_match_reaction(self):
+        from cgr_mpnn_3d_tpu.data.preprocess import match_reaction
+        prods = [np.zeros((2, 3)), np.ones((2, 3)), np.full((2, 3), 9.0)]
+        by_formula = {"66": [0, 1], "8": [2]}
+        got = match_reaction("66", np.ones((2, 3)) * 0.9, by_formula, prods)
+        assert got == 1
+        with pytest.raises(KeyError):
+            match_reaction("77", np.zeros((2, 3)), by_formula, prods)
+
+    def test_ev_to_kcal(self):
+        from cgr_mpnn_3d_tpu.data.preprocess import EV_TO_KCAL_PER_MOL
+        assert abs(EV_TO_KCAL_PER_MOL - 23.06) < 1e-9
+
+
+class TestDescriptors:
+    def test_read_xyz_multi(self, tmp_path):
+        from cgr_mpnn_3d_tpu.data.descriptors import read_xyz
+        p = tmp_path / "m.xyz"
+        p.write_text("2\ncomment\nC 0 0 0\nH 1 0 0\n"
+                     "1\n\nO 0.5 0.5 0.5\n")
+        s = read_xyz(p)
+        assert len(s) == 2
+        assert s[0][0] == ["C", "H"]
+        np.testing.assert_allclose(s[1][1], [[0.5, 0.5, 0.5]])
+
+    def test_atom_map_order(self):
+        from cgr_mpnn_3d_tpu.data.descriptors import atom_map_order
+        ridx = atom_map_order("[C:2]([H:1])([H:3])([H:4])[H:5]")
+        np.testing.assert_array_equal(ridx, [1, 0, 2, 3, 4])
+        with pytest.raises(ValueError):
+            atom_map_order("CCO")
+
+    def test_synthetic_npz_contract(self, tmp_path):
+        from cgr_mpnn_3d_tpu.data.descriptors import synthetic_descriptors_npz
+        synthetic_descriptors_npz(DEMO, tmp_path / "d.npz",
+                                  dim_per_structure=8)
+        with np.load(tmp_path / "d.npz") as z:
+            assert len(z.files) == 10
+            assert z["arr_0"].shape == (10, 24)  # demo rxn1 has 10 atoms
+
+    def test_mace_gated_error(self, tmp_path):
+        from cgr_mpnn_3d_tpu.data.descriptors import process_xyz_to_npz
+        with pytest.raises(ImportError, match="mace"):
+            process_xyz_to_npz(DEMO, tmp_path / "x.xyz", tmp_path / "o.npz")
