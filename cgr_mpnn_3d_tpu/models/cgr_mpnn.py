@@ -31,6 +31,7 @@ import numpy as np
 from ..data.batch import PackedGraphBatch, PackSpec
 from ..ops.dispatch import (PallasImpl, dmpnn_messages_p, gather_nodes_p,
                             graph_pool_sum_p, node_incoming_sum_p)
+from ..ops.pallas_fused import FusedConvSpec, fused_conv_layer
 from ..ops.segment import (dmpnn_messages, gather_nodes, graph_pool_sum,
                            node_incoming_sum)
 
@@ -168,24 +169,52 @@ def apply(params: dict, batch: PackedGraphBatch, cfg: CGRMPNNConfig,
     h0 = act(_linear(params["edge_init"], jnp.concatenate([x_src, e], 1), dt))
     if capture:
         acts["h0"] = h0
-    h = h0
 
     if train and rng is not None:
-        drop_keys = jax.random.split(rng, cfg.depth)
+        drop_keys = list(jax.random.split(rng, cfg.depth))
     else:
         drop_keys = [None] * cfg.depth
 
-    for l in range(cfg.depth):
-        t = _messages(h, batch.edge_nbr, batch.rev,
-                      batch.edge_nbr_rev, norm)
-        h_new = _linear(params["convs"][l], t, dt)
-        if cfg.use_learnable_skip:
-            h = h_new + params["skip_weights"][l] * h0
-        else:
-            h = h_new + h0
-        h = _dropout(act(h), cfg.dropout_ps[l], drop_keys[l], train)
-        if capture:
-            acts[f"h_{l}"] = h
+    use_fused = use_pallas and cfg.activation == "ReLU"
+    if use_fused:
+        # fully-fused conv layers: one kernel per layer, edge states kept in
+        # compute dtype end-to-end (ops/pallas_fused.py)
+        store_dt = dt if dt == jnp.bfloat16 else jnp.float32
+        fbase = dict(p=spec.p, learnable_skip=cfg.use_learnable_skip,
+                     mat_dtype=(jnp.bfloat16 if dt == jnp.bfloat16
+                                else jnp.float32),
+                     out_dtype=store_dt, interpret=cfg.pallas_interpret)
+        h0c = h0.astype(store_dt)
+        h = h0c
+        for l in range(cfg.depth):
+            do_drop = train and drop_keys[l] is not None \
+                and cfg.dropout_ps[l] > 0.0
+            fspec = FusedConvSpec(dropout_p=cfg.dropout_ps[l],
+                                  train=do_drop, **fbase)
+            seed = (jax.random.randint(drop_keys[l], (), 0, 2**31 - 1,
+                                       dtype=jnp.int32)
+                    if do_drop else jnp.zeros((), jnp.int32))
+            skip_w = (params["skip_weights"][l] if cfg.use_learnable_skip
+                      else jnp.ones((), jnp.float32))
+            h = fused_conv_layer(fspec, h, h0c, batch.edge_nbr, batch.rev,
+                                 params["convs"][l]["w"],
+                                 params["convs"][l]["b"], skip_w, seed)
+            if capture:
+                acts[f"h_{l}"] = h
+        h = h.astype(jnp.float32)
+    else:
+        h = h0
+        for l in range(cfg.depth):
+            t = _messages(h, batch.edge_nbr, batch.rev,
+                          batch.edge_nbr_rev, norm)
+            h_new = _linear(params["convs"][l], t, dt)
+            if cfg.use_learnable_skip:
+                h = h_new + params["skip_weights"][l] * h0
+            else:
+                h = h_new + h0
+            h = _dropout(act(h), cfg.dropout_ps[l], drop_keys[l], train)
+            if capture:
+                acts[f"h_{l}"] = h
 
     # readout: unparameterized incoming sum (conv-layer reuse, GNN.py:105)
     s = _incoming(h, batch.node_inc, batch.receivers)
