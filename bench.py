@@ -40,6 +40,9 @@ def main() -> None:
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: the tunneled-TPU remote compile costs ~45-75s
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import optax
 

@@ -111,8 +111,9 @@ def _bwd_kernel(nbr_ref, rev_ref, h_ref, h0_ref, w_ref, out_ref, g_ref,
     p = pl.program_id(0)
     md = spec.mat_dtype
     scale = (1.0 / spec.keep) if spec.use_dropout else 1.0
-    dpre = jnp.where(out_ref[:] > 0, g_ref[:].astype(jnp.float32) * scale,
-                     0.0)
+    # compare in f32: Mosaic (v5e) rejects packed-bf16 cmpf vectors
+    dpre = jnp.where(out_ref[:].astype(jnp.float32) > 0.0,
+                     g_ref[:].astype(jnp.float32) * scale, 0.0)
 
     m = _build_m(nbr_ref, rev_ref, p * te, te, md)
     # dt = dpre @ W^T
