@@ -31,11 +31,16 @@ __all__ = ["ChemDataset"]
 
 class ChemDataset:
     def __init__(self, data_path: str, mode: str = "rxn",
-                 data_npz_path: str | None = None):
+                 data_npz_path: str | None = None,
+                 use_native: bool | None = None):
         if mode not in ("mol", "rxn"):
             raise ValueError(f"Unknown option for mode {mode!r}")
         self.mode = mode
         self.data_path = Path(data_path)
+        if use_native is None:
+            from .. import native
+            use_native = native.available()
+        self.use_native = use_native
 
         smiles, labels = [], []
         with open(self.data_path, newline="") as f:
@@ -72,7 +77,10 @@ class ChemDataset:
         smi = self.smiles[key]
         g = self._cache.get(smi)
         if g is None:
-            if self.mode == "mol":
+            if self.use_native:
+                from .. import native
+                g = native.featurize(smi, self.mode)
+            elif self.mode == "mol":
                 g = MolGraph(smi).arrays
             else:
                 g = RxnGraph(smi).arrays

@@ -1,0 +1,70 @@
+"""Native C++ featurizer: build + bit-parity vs the Python chem/ stack over
+a corpus including the full demo set, plus error handling and a speedup
+sanity check."""
+
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from cgr_mpnn_3d_tpu import native
+from cgr_mpnn_3d_tpu.chem import MolGraph, RxnGraph
+
+DEMO = Path(__file__).resolve().parent.parent / "examples" / "demo.csv"
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native toolchain unavailable")
+
+CORPUS_RXN = [line.split(",")[0] for line in
+              DEMO.read_text().splitlines()[1:]] + [
+    "CCO>>CC=O",
+    "[N:1]([H:2])([H:3])[H:4]>>[N:1]([H:2])[H:3].[H:4]",
+    "CC(=O)N>>CC(=O)N",
+]
+CORPUS_MOL = ["CCO", "c1ccccc1", "CC(=O)OC", "C1CC1CC", "[13CH4]",
+              "c1cc[nH]c1", "ClCCBr", "C=CC=C", "[C-]#[O+]",
+              "c1ccc(cc1)-c1ccccc1", "C%10CCCCC%10", "CC(=O)O.[Na+]"]
+
+
+def _assert_same(a, b, smi):
+    np.testing.assert_array_equal(a.senders, b.senders, err_msg=smi)
+    np.testing.assert_array_equal(a.receivers, b.receivers, err_msg=smi)
+    np.testing.assert_array_equal(a.rev_edge_index, b.rev_edge_index,
+                                  err_msg=smi)
+    np.testing.assert_allclose(a.node_feats, b.node_feats, rtol=1e-6,
+                               atol=1e-6, err_msg=smi)
+    np.testing.assert_allclose(a.edge_feats, b.edge_feats, rtol=1e-6,
+                               atol=1e-6, err_msg=smi)
+
+
+def test_rxn_parity():
+    for smi in CORPUS_RXN:
+        _assert_same(native.featurize(smi, "rxn"), RxnGraph(smi).arrays, smi)
+
+
+def test_mol_parity():
+    for smi in CORPUS_MOL:
+        _assert_same(native.featurize(smi, "mol"), MolGraph(smi).arrays, smi)
+
+
+def test_error_reporting():
+    with pytest.raises(native.NativeError, match="unclosed ring"):
+        native.featurize("C1CC", "mol")
+    with pytest.raises(native.NativeError):
+        native.featurize("[Xx]", "mol")
+
+
+def test_speedup():
+    smi = CORPUS_RXN[0]
+    native.featurize(smi, "rxn")  # warm
+    t0 = time.perf_counter()
+    for _ in range(50):
+        native.featurize(smi, "rxn")
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(50):
+        RxnGraph(smi)
+    t_py = time.perf_counter() - t0
+    # native must be decisively faster (typically >10x)
+    assert t_native < t_py / 3, (t_native, t_py)
