@@ -1,0 +1,111 @@
+"""Kernel microbenchmarks: time each hot op against the device's dense-matmul
+roofline to see where the step time goes.
+
+  python -m cgr_mpnn_3d_tpu.cli.bench_ops [--graphs N] [--hidden H]
+
+No reference equivalent (the reference has no benchmarks at all,
+SURVEY.md §6); this is the perf-engineering loop for the Pallas kernels.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _time(fn, *args, repeats=5):
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = np.inf
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--graphs", type=int, default=2500)
+    ap.add_argument("--hidden", type=int, default=400)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from ..data import pack_graphs, plan_spec
+    from ..data.batch import packs_needed
+    from ..data.synthetic import synthetic_graphs
+    from ..ops.dispatch import PallasImpl, dmpnn_messages_p
+    from ..ops.pallas_fused import FusedConvSpec, fused_conv_layer
+    from ..ops.segment import dmpnn_messages
+
+    H = args.hidden
+    rng = np.random.default_rng(0)
+    graphs = synthetic_graphs(args.graphs, rng)
+    spec = plan_spec(graphs, te=512, tn=256, tb=32)
+    spec = spec.with_packs(packs_needed(graphs, spec, fill_target=0.92))
+    batch = pack_graphs(graphs, [0.0] * len(graphs), spec)
+    batch = jax.device_put(batch)
+    ET = spec.total_edges
+    n_real = sum(g.num_edges for g in graphs)
+    print(f"device={jax.devices()[0].device_kind} packs={spec.p} "
+          f"ET={ET} real_edges={n_real}", file=sys.stderr)
+
+    key = jax.random.PRNGKey(0)
+    h = jax.random.normal(key, (ET, H), jnp.bfloat16)
+    h0 = jax.random.normal(key, (ET, H), jnp.bfloat16)
+    w = jax.random.normal(key, (H, H), jnp.float32) * 0.05
+    b = jnp.zeros((H,), jnp.float32)
+    norm = jnp.ones((ET,), jnp.float32)
+    impl = PallasImpl(p=spec.p)
+    fspec = FusedConvSpec(p=spec.p, out_dtype=jnp.bfloat16)
+
+    results = {}
+
+    # roofline anchor: dense matmul of the same magnitude as one conv layer
+    mm = jax.jit(lambda a, bm: a @ bm)
+    t = _time(mm, h, w.astype(jnp.bfloat16))
+    results["dense_matmul[ET,H]x[H,H]"] = (t, 2 * ET * H * H / t / 1e12)
+
+    f = jax.jit(lambda hh: dmpnn_messages(hh.astype(jnp.float32),
+                                          batch.edge_nbr, batch.rev,
+                                          batch.edge_nbr_rev, norm))
+    results["xla_gather_messages"] = (_time(f, h), None)
+
+    f = jax.jit(lambda hh: dmpnn_messages_p(impl, hh, batch.edge_nbr,
+                                            batch.rev, batch.edge_nbr_rev))
+    results["pallas_onehot_messages"] = (_time(f, h), None)
+
+    f = jax.jit(lambda hh, h0h: fused_conv_layer(
+        fspec, hh, h0h, batch.edge_nbr, batch.rev, w, b,
+        jnp.ones(()), jnp.zeros((), jnp.int32)))
+    t = _time(f, h, h0)
+    fl = 2 * ET * (spec.te * H + H * H)
+    results["fused_conv_fwd"] = (t, fl / t / 1e12)
+
+    g = jax.jit(jax.grad(lambda hh, h0h: fused_conv_layer(
+        fspec, hh, h0h, batch.edge_nbr, batch.rev, w, b,
+        jnp.ones(()), jnp.zeros((), jnp.int32)).astype(jnp.float32).sum(),
+        argnums=(0, 1)))
+    t = _time(g, h, h0)
+    results["fused_conv_fwd+bwd"] = (t, 3 * fl / t / 1e12)
+
+    for name, (t, tf) in results.items():
+        extra = f"  {tf:.1f} TF/s" if tf else ""
+        print(f"{name:32s} {t * 1e3:8.3f} ms{extra}  "
+              f"({n_real / t / 1e6:8.1f} Medge/s-equiv)")
+
+
+if __name__ == "__main__":
+    main()

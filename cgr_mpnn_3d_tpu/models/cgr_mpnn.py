@@ -115,6 +115,18 @@ def _linear(p: dict, x: jax.Array, dtype) -> jax.Array:
             + p["b"].astype(jnp.float32))
 
 
+def _linear_cat(p: dict, a: jax.Array, b: jax.Array, dtype) -> jax.Array:
+    """Linear over a logical concat [a ++ b] without materializing it:
+    splits the weight along fan-in (params keep the reference layout)."""
+    na = a.shape[1]
+    w = p["w"].astype(dtype)
+    return (jnp.dot(a.astype(dtype), w[:na],
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(b.astype(dtype), w[na:],
+                      preferred_element_type=jnp.float32)
+            + p["b"].astype(jnp.float32))
+
+
 def _dropout(x, rate, rng, train):
     if not train or rate == 0.0:
         return x
@@ -153,8 +165,8 @@ def apply(params: dict, batch: PackedGraphBatch, cfg: CGRMPNNConfig,
         _incoming = node_incoming_sum
         _pool = graph_pool_sum
 
-    x = batch.node_x
-    e = batch.edge_attr
+    x = batch.node_x.astype(dt)
+    e = batch.edge_attr.astype(dt)
 
     if cfg.aggr == "mean":
         in_deg = (batch.node_inc < batch.senders.shape[0]).sum(
@@ -166,7 +178,7 @@ def apply(params: dict, batch: PackedGraphBatch, cfg: CGRMPNNConfig,
         norm = jnp.ones((batch.senders.shape[0],), jnp.float32)
 
     x_src = _gather_nodes(x, batch.senders, batch.node_out)
-    h0 = act(_linear(params["edge_init"], jnp.concatenate([x_src, e], 1), dt))
+    h0 = act(_linear_cat(params["edge_init"], x_src, e, dt))
     if capture:
         acts["h0"] = h0
 
@@ -220,7 +232,7 @@ def apply(params: dict, batch: PackedGraphBatch, cfg: CGRMPNNConfig,
     s = _incoming(h, batch.node_inc, batch.receivers)
     if cfg.aggr == "mean":
         s = s * inv_deg[:, None]
-    hn = act(_linear(params["edge_to_node"], jnp.concatenate([x, s], 1), dt))
+    hn = act(_linear_cat(params["edge_to_node"], x, s, dt))
     if capture:
         acts["s"] = s
         acts["h_node"] = hn

@@ -46,7 +46,8 @@ def predict(params: dict, cfg: CGRMPNNConfig, dataset: ChemDataset,
             spec: PackSpec, batch_size: int = 64) -> np.ndarray:
     """Predictions for every dataset row, in row order."""
     loader = PackedLoader(dataset, spec, batch_size=batch_size, shuffle=False)
-    step = jax.jit(lambda p, b: apply(p, b, cfg))
+    run_spec = loader.spec
+    step = jax.jit(lambda p, b: apply(p, b, cfg, run_spec))
     preds = []
     for batch in loader:
         out = np.asarray(step(params, batch))

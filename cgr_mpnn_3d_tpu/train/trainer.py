@@ -37,6 +37,7 @@ from ..data.loader import PackedLoader
 from ..models.cgr_mpnn import CGRMPNNConfig, apply, init_params
 from .checkpoint import save_checkpoint, load_checkpoint, restore_into
 from .metrics import MetricsLogger
+from .profiler import StepTimer
 
 __all__ = ["TrainState", "RxnGraphTrainer", "make_optimizer", "sse_loss"]
 
@@ -64,8 +65,8 @@ def make_optimizer(lr: float, weight_decay: float, gamma: float,
 
 
 def sse_loss(params, batch: PackedGraphBatch, cfg: CGRMPNNConfig,
-             train: bool, rng) -> jax.Array:
-    preds = apply(params, batch, cfg, train=train, rng=rng)
+             train: bool, rng, spec: PackSpec | None = None) -> jax.Array:
+    preds = apply(params, batch, cfg, spec, train=train, rng=rng)
     err = (preds - batch.labels) * batch.graph_mask
     return jnp.sum(err * err)
 
@@ -108,17 +109,20 @@ class RxnGraphTrainer:
                                 self._rng)
         self.best_val_loss = float("inf")
         self.start_epoch = 0
+        self._timer = StepTimer()
         if self.resume_from:
             self._resume(self.resume_from)
 
         cfg = self.cfg
         optimizer = self.optimizer
+        # the loader fixes the pack count; the model needs it for Pallas
+        step_spec = self.train_loader.spec
 
         @jax.jit
         def _train_step(state: TrainState, batch: PackedGraphBatch):
             rng, sub = jax.random.split(state.rng)
             loss, grads = jax.value_and_grad(sse_loss)(
-                state.params, batch, cfg, True, sub)
+                state.params, batch, cfg, True, sub, step_spec)
             updates, opt_state = optimizer.update(grads, state.opt_state,
                                                   state.params)
             params = optax.apply_updates(state.params, updates)
@@ -126,7 +130,7 @@ class RxnGraphTrainer:
 
         @jax.jit
         def _eval_step(params, batch: PackedGraphBatch):
-            preds = apply(params, batch, cfg, train=False)
+            preds = apply(params, batch, cfg, step_spec, train=False)
             err = (preds - batch.labels) * batch.graph_mask
             return jnp.sum(err * err), preds
 
@@ -165,13 +169,16 @@ class RxnGraphTrainer:
         state = self.state
         total = 0.0
         self.train_loader.set_epoch(epoch_idx)
+        self._timer.reset_epoch()
         for batch in self.train_loader.prefetch():
             state, loss = self._train_step(state, batch)
             total += float(loss)
+            self._timer.tick()
         self.state = state
         rmse = float(np.sqrt(total / len(self.train_data)))
         if self.logger:
-            rec = {"train_loss": rmse, "epoch": epoch_idx}
+            rec = {"train_loss": rmse, "epoch": epoch_idx,
+                   **self._timer.stats()}
             if self.log_param_norms:
                 rec["param_norm"] = float(optax.global_norm(state.params))
             self.logger.log(rec)
