@@ -168,14 +168,23 @@ def _linear(p, x, dtype):
 
 
 def ep_forward(params: dict, b: EdgeShardedBatch, cfg: CGRMPNNConfig,
-               *, axis: str = "ep") -> tuple[jax.Array, jax.Array]:
+               *, axis: str = "ep", train: bool = False,
+               rng: jax.Array | None = None
+               ) -> tuple[jax.Array, jax.Array]:
     """Per-shard forward (call inside shard_map over ``axis``).
 
     ``b`` leaves are the shard-local slices (no leading shard axis).
     Returns (per-shard partial sum loss_sse, per-shard predictions [BK]).
+    Dropout masks are drawn per shard (each shard owns distinct edges, so
+    independent masks are exactly equivalent to the single-device draw).
     """
     act = ACTIVATIONS[cfg.activation]
     dt = cfg.compute_dtype
+    if train and rng is not None:
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        drop_keys = list(jax.random.split(rng, cfg.depth))
+    else:
+        drop_keys = [None] * cfg.depth
 
     x = b.node_x                       # [NT, F] replicated copy
     x_src = gather_nodes(x, b.senders, b.node_out)
@@ -191,7 +200,11 @@ def ep_forward(params: dict, b: EdgeShardedBatch, cfg: CGRMPNNConfig,
             h = h_new + params["skip_weights"][l] * h0
         else:
             h = h_new + h0
-        h = act(h)   # eval-mode semantics; dropout handled by caller rng TODO
+        h = act(h)
+        if drop_keys[l] is not None and cfg.dropout_ps[l] > 0.0:
+            keep = 1.0 - cfg.dropout_ps[l]
+            mask = jax.random.bernoulli(drop_keys[l], keep, h.shape)
+            h = jnp.where(mask, h / keep, 0.0)
 
     partial = node_partial_sum(h, b.node_inc, b.receivers)
     s = jax.lax.psum(partial, axis)
@@ -212,9 +225,12 @@ def make_ep_train_step(optimizer: optax.GradientTransformation,
 
     def per_device(state: TrainState, batch: EdgeShardedBatch):
         local = jax.tree_util.tree_map(lambda v: v[0, 0], batch)
+        rng, sub = jax.random.split(state.rng)
+        sub = jax.random.fold_in(sub, jax.lax.axis_index("dp"))
 
         def loss_fn(params):
-            sse, _ = ep_forward(params, local, cfg, axis="ep")
+            sse, _ = ep_forward(params, local, cfg, axis="ep",
+                                train=True, rng=sub)
             return sse
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -223,7 +239,6 @@ def make_ep_train_step(optimizer: optax.GradientTransformation,
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
-        rng, _ = jax.random.split(state.rng)
         return TrainState(params, opt_state, state.step + 1, rng), loss
 
     batch_spec = jax.tree_util.tree_map(
