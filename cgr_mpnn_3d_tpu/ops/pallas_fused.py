@@ -63,7 +63,9 @@ def _build_m(nbr_ref, rev_ref, base, c_tile, dtype):
                                     (nbr_ref.shape[0], c_tile), 1)
     m = jnp.zeros((nbr_ref.shape[0], c_tile), dtype)
     for d in range(nbr_ref.shape[1]):
-        m = m + (cols == idx_local[:, d][:, None]).astype(dtype)
+        # 2-D slice keeps the sublane-major layout — indexing with
+        # [:, d][:, None] would force a lane->sublane relayout per d
+        m = m + (cols == idx_local[:, d:d + 1]).astype(dtype)
     m = m - (cols == (rev_ref[:] - base)).astype(dtype)
     return m
 

@@ -52,7 +52,8 @@ def _kernel(idx_ref, sign_ref, src_ref, out_ref, *, c_tile: int,
 
     m = jnp.zeros((idx_ref.shape[0], c_tile), mat_dtype)
     for d in range(idx_ref.shape[1]):
-        m = m + (cols == idx_local[:, d][:, None]).astype(mat_dtype)
+        # 2-D slice avoids a per-d lane->sublane relayout (see pallas_fused)
+        m = m + (cols == idx_local[:, d:d + 1]).astype(mat_dtype)
     if sign_ref is not None:
         sign_local = sign_ref[:] - base                 # [R, 1]
         m = m - (cols == sign_local).astype(mat_dtype)
