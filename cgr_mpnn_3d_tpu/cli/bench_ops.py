@@ -46,8 +46,9 @@ def main(argv=None) -> None:
     from ..data import pack_graphs, plan_spec
     from ..data.batch import packs_needed
     from ..data.synthetic import synthetic_graphs
-    from ..ops.dispatch import PallasImpl, dmpnn_messages_p
+    from ..ops.dispatch import SpmmMeta, build_model_indices, spmm_t
     from ..ops.pallas_fused import FusedConvSpec, fused_conv_layer
+    from ..ops.pallas_ops import build_idx_t
     from ..ops.segment import dmpnn_messages
 
     H = args.hidden
@@ -68,8 +69,11 @@ def main(argv=None) -> None:
     w = jax.random.normal(key, (H, H), jnp.float32) * 0.05
     b = jnp.zeros((H,), jnp.float32)
     norm = jnp.ones((ET,), jnp.float32)
-    impl = PallasImpl(p=spec.p)
-    fspec = FusedConvSpec(p=spec.p, out_dtype=jnp.bfloat16)
+    D = batch.edge_nbr.shape[1]
+    idxs = build_model_indices(batch, spec.p)
+    idxs = jax.tree_util.tree_map(jax.device_put, idxs)
+    meta = SpmmMeta(D, True)
+    fspec = FusedConvSpec(p=spec.p, d_nbr=D, out_dtype=jnp.bfloat16)
 
     results = {}
 
@@ -83,23 +87,55 @@ def main(argv=None) -> None:
                                           batch.edge_nbr_rev, norm))
     results["xla_gather_messages"] = (_time(f, h), None)
 
-    f = jax.jit(lambda hh: dmpnn_messages_p(impl, hh, batch.edge_nbr,
-                                            batch.rev, batch.edge_nbr_rev))
+    f = jax.jit(lambda hh: spmm_t(spec.p, meta, meta, hh,
+                                  idxs.msg_fwd, idxs.msg_bwd))
     results["pallas_onehot_messages"] = (_time(f, h), None)
 
     f = jax.jit(lambda hh, h0h: fused_conv_layer(
-        fspec, hh, h0h, batch.edge_nbr, batch.rev, w, b,
+        fspec, hh, h0h, idxs.msg_fwd, w, b,
         jnp.ones(()), jnp.zeros((), jnp.int32)))
     t = _time(f, h, h0)
     fl = 2 * ET * (spec.te * H + H * H)
     results["fused_conv_fwd"] = (t, fl / t / 1e12)
 
     g = jax.jit(jax.grad(lambda hh, h0h: fused_conv_layer(
-        fspec, hh, h0h, batch.edge_nbr, batch.rev, w, b,
+        fspec, hh, h0h, idxs.msg_fwd, w, b,
         jnp.ones(()), jnp.zeros((), jnp.int32)).astype(jnp.float32).sum(),
         argnums=(0, 1)))
     t = _time(g, h, h0)
     results["fused_conv_fwd+bwd"] = (t, 3 * fl / t / 1e12)
+
+    # full-model pieces
+    import optax
+    from ..models import CGRMPNNConfig, apply, init_params
+    from ..train import make_optimizer
+    cfg = CGRMPNNConfig(num_node_features=78, num_edge_features=14,
+                        depth=4, hidden_sizes=(H,) * 4,
+                        dropout_ps=(0.0,) * 4,
+                        compute_dtype=jnp.bfloat16, use_pallas=True)
+    params = init_params(key, cfg)
+
+    fwd = jax.jit(lambda p: apply(p, batch, cfg, spec).sum())
+    results["model_fwd"] = (_time(fwd, params), None)
+
+    vg = jax.jit(lambda p: jax.value_and_grad(
+        lambda q: apply(q, batch, cfg, spec).sum())(p)[0])
+    results["model_fwd+bwd"] = (_time(vg, params), None)
+
+    opt = make_optimizer(1e-4, 0.0, 1.0, 100)
+    opt_state = opt.init(params)
+    grads = jax.jit(jax.grad(lambda q: apply(q, batch, cfg, spec).sum()))(
+        params)
+
+    def upd(g, s, p):
+        u, s2 = opt.update(g, s, p)
+        return optax.apply_updates(p, u)
+    results["optimizer_update"] = (_time(jax.jit(upd), grads, opt_state,
+                                         params), None)
+
+    from ..ops.dispatch import build_model_indices as bmi
+    results["build_indices"] = (_time(jax.jit(lambda b: bmi(b, spec.p)),
+                                      batch), None)
 
     for name, (t, tf) in results.items():
         extra = f"  {tf:.1f} TF/s" if tf else ""

@@ -29,8 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.batch import PackedGraphBatch, PackSpec
-from ..ops.dispatch import (PallasImpl, dmpnn_messages_p, gather_nodes_p,
-                            graph_pool_sum_p, node_incoming_sum_p)
+from ..ops.dispatch import SpmmMeta, build_model_indices, spmm_t
 from ..ops.pallas_fused import FusedConvSpec, fused_conv_layer
 from ..ops.segment import (dmpnn_messages, gather_nodes, graph_pool_sum,
                            node_incoming_sum)
@@ -150,15 +149,26 @@ def apply(params: dict, batch: PackedGraphBatch, cfg: CGRMPNNConfig,
 
     use_pallas = cfg.use_pallas and spec is not None and cfg.aggr == "add"
     if use_pallas:
-        impl = PallasImpl(p=spec.p,
-                          mat_dtype=(jnp.bfloat16
-                                     if dt == jnp.bfloat16 else jnp.float32),
-                          interpret=cfg.pallas_interpret)
-        _gather_nodes = lambda x_, s_, o_: gather_nodes_p(impl, x_, s_, o_)
-        _messages = lambda h_, n_, r_, nr_, norm_: dmpnn_messages_p(
-            impl, h_, n_, r_, nr_)
-        _incoming = lambda h_, ni_, rc_: node_incoming_sum_p(impl, h_, ni_, rc_)
-        _pool = lambda hn_, gn_, go_: graph_pool_sum_p(impl, hn_, gn_, go_)
+        md = jnp.bfloat16 if dt == jnp.bfloat16 else jnp.float32
+        idxs = build_model_indices(batch, spec.p)
+        D = batch.edge_nbr.shape[1]
+        DN = batch.graph_nodes.shape[1]
+
+        def meta(d, sign):
+            return SpmmMeta(d, sign, md, jnp.float32, cfg.pallas_interpret)
+
+        _gather_nodes = lambda x_, *_a: spmm_t(
+            spec.p, meta(1, False), meta(D, False), x_,
+            idxs.gather_fwd, idxs.gather_bwd)
+        _messages = lambda h_, *_a: spmm_t(
+            spec.p, meta(D, True), meta(D, True), h_,
+            idxs.msg_fwd, idxs.msg_bwd)
+        _incoming = lambda h_, *_a: spmm_t(
+            spec.p, meta(D, False), meta(1, False), h_,
+            idxs.inc_fwd, idxs.inc_bwd)
+        _pool = lambda hn_, *_a: spmm_t(
+            spec.p, meta(DN, False), meta(1, False), hn_,
+            idxs.pool_fwd, idxs.pool_bwd)
     else:
         _gather_nodes = gather_nodes
         _messages = dmpnn_messages
@@ -192,7 +202,8 @@ def apply(params: dict, batch: PackedGraphBatch, cfg: CGRMPNNConfig,
         # fully-fused conv layers: one kernel per layer, edge states kept in
         # compute dtype end-to-end (ops/pallas_fused.py)
         store_dt = dt if dt == jnp.bfloat16 else jnp.float32
-        fbase = dict(p=spec.p, learnable_skip=cfg.use_learnable_skip,
+        fbase = dict(p=spec.p, d_nbr=D,
+                     learnable_skip=cfg.use_learnable_skip,
                      mat_dtype=(jnp.bfloat16 if dt == jnp.bfloat16
                                 else jnp.float32),
                      out_dtype=store_dt, interpret=cfg.pallas_interpret)
@@ -208,7 +219,7 @@ def apply(params: dict, batch: PackedGraphBatch, cfg: CGRMPNNConfig,
                     if do_drop else jnp.zeros((), jnp.int32))
             skip_w = (params["skip_weights"][l] if cfg.use_learnable_skip
                       else jnp.ones((), jnp.float32))
-            h = fused_conv_layer(fspec, h, h0c, batch.edge_nbr, batch.rev,
+            h = fused_conv_layer(fspec, h, h0c, idxs.msg_fwd,
                                  params["convs"][l]["w"],
                                  params["convs"][l]["b"], skip_w, seed)
             if capture:

@@ -3,26 +3,29 @@
 One forward kernel per pack computes the *entire* reference layer
 (GNN.py:90-102):
 
-    t    = M @ h                    one-hot message matrix (in VMEM)
+    t    = M @ h                    one-hot message matrix (built in VMEM)
     pre  = t @ W + b + skip * h0    conv linear + skip
-    out  = dropout(relu(pre))       in-kernel PRNG dropout
+    out  = dropout(relu(pre))       in-kernel hash dropout
 
-without materializing ``t`` or ``pre`` to HBM — the unfused path writes and
-re-reads two [E, H] intermediates per layer, which made the step
-HBM-bandwidth-bound (bench: 2.7 Medge/s unfused).
+without materializing ``t`` or ``pre`` to HBM.  M is built and used in its
+transposed form MT [C, R] from transposed index rows (see ops/pallas_ops.py
+for why the orientation matters: ~300x on v5e), so:
 
-The backward kernel reuses the same VMEM-resident M for its transpose
-contraction (dot_general over dim 0), so no reverse index arrays are needed:
+    t  = contract(MT, h, over dim 0)          forward messages
+    dh = MT @ dt                              backward — the transpose is free
 
-    dpre = g * [out > 0] / keep     (ReLU+dropout fold: out>0 iff kept & pre>0)
-    dh   = M^T @ (dpre @ W^T)
-    dh0  = skip * dpre
-    dW  += t^T @ dpre               (t recomputed in VMEM; accumulated over packs)
-    db  += sum_e dpre
-    dskip += sum dpre*h0            (learnable-skip grad)
+The backward kernel recomputes t in VMEM for dW and accumulates dW/db/dskip
+across grid steps:
+
+    dpre  = g * [out > 0] / keep    (ReLU+dropout fold: out>0 iff kept & pre>0)
+    dh    = MT @ (dpre @ W^T)
+    dh0   = skip * dpre
+    dW   += t^T @ dpre
+    db   += sum_e dpre
+    dskip += sum dpre*h0
 
 Restriction: ReLU activation only (the reference's default and headline
-config); other activations fall back to the semi-fused path.
+config); other activations use the semi-fused path.
 """
 
 from __future__ import annotations
@@ -41,6 +44,7 @@ __all__ = ["FusedConvSpec", "fused_conv_layer"]
 @dataclass(frozen=True)
 class FusedConvSpec:
     p: int                      # packs
+    d_nbr: int                  # neighbor rows in idx_t (rev row follows)
     dropout_p: float = 0.0
     train: bool = False
     learnable_skip: bool = False
@@ -57,43 +61,24 @@ class FusedConvSpec:
         return self.train and self.dropout_p > 0.0
 
 
-def _build_m(nbr_ref, rev_ref, base, c_tile, dtype):
-    idx_local = nbr_ref[:] - base
-    cols = jax.lax.broadcasted_iota(jnp.int32,
-                                    (nbr_ref.shape[0], c_tile), 1)
-    m = jnp.zeros((nbr_ref.shape[0], c_tile), dtype)
-    for d in range(nbr_ref.shape[1]):
-        # 2-D slice keeps the sublane-major layout — indexing with
-        # [:, d][:, None] would force a lane->sublane relayout per d
-        m = m + (cols == idx_local[:, d:d + 1]).astype(dtype)
-    m = m - (cols == (rev_ref[:] - base)).astype(dtype)
-    return m
+def _build_mt(idx_ref, base, c_tile, d_nbr, dtype):
+    """MT [C, R]: +1 rows for the d_nbr neighbor rows, -1 for the rev row.
 
-
-def _fwd_kernel(nbr_ref, rev_ref, h_ref, h0_ref, w_ref, b_ref,
-                skip_ref, seed_ref, out_ref, *, spec: FusedConvSpec, te: int):
-    p = pl.program_id(0)
-    md = spec.mat_dtype
-    m = _build_m(nbr_ref, rev_ref, p * te, te, md)
-    t = jax.lax.dot_general(m, h_ref[:].astype(md),
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    pre = jax.lax.dot_general(t.astype(md), w_ref[:].astype(md),
-                              dimension_numbers=(((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    pre = pre + b_ref[:].astype(jnp.float32)
-    pre = pre + skip_ref[0, 0] * h0_ref[:].astype(jnp.float32)
-    out = jnp.maximum(pre, 0.0)
-    if spec.use_dropout:
-        # Counter-based hash dropout (murmur3 finalizer): deterministic
-        # across backends/replays (resume-reproducible), no hardware PRNG.
-        bits = _hash_bits(out.shape, seed_ref[0, 0], p)
-        thresh = jnp.uint32(min(int(spec.dropout_p * 2**32), 2**32 - 1))
-        out = jnp.where(bits >= thresh, out * (1.0 / spec.keep), 0.0)
-    out_ref[:] = out.astype(out_ref.dtype)
+    Index rows broadcast across sublanes (cheap); see ops/pallas_ops.py.
+    """
+    il = idx_ref[:] - base                        # [D_pad, R]
+    r_tile = idx_ref.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (c_tile, r_tile), 0)
+    mt = jnp.zeros((c_tile, r_tile), dtype)
+    for d in range(d_nbr):
+        mt = mt + (rows == il[d:d + 1, :]).astype(dtype)
+    mt = mt - (rows == il[d_nbr:d_nbr + 1, :]).astype(dtype)
+    return mt
 
 
 def _hash_bits(shape, seed, pack_id):
+    """Counter-based hash dropout bits (murmur3 finalizer): deterministic
+    across backends/replays, no hardware PRNG."""
     row = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     col = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
     x = (row * jnp.uint32(65537) + col
@@ -107,8 +92,30 @@ def _hash_bits(shape, seed, pack_id):
     return x
 
 
-def _bwd_kernel(nbr_ref, rev_ref, h_ref, h0_ref, w_ref, out_ref, g_ref,
-                skip_ref, dh_ref, dh0_ref, dw_ref, db_ref, dskip_ref,
+def _fwd_kernel(idx_ref, h_ref, h0_ref, w_ref, b_ref, skip_ref, seed_ref,
+                out_ref, *, spec: FusedConvSpec, te: int):
+    p = pl.program_id(0)
+    md = spec.mat_dtype
+    mt = _build_mt(idx_ref, p * te, te, spec.d_nbr, md)
+    # t[e] = sum_c MT[c, e] h[c]
+    t = jax.lax.dot_general(mt, h_ref[:].astype(md),
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    pre = jax.lax.dot_general(t.astype(md), w_ref[:].astype(md),
+                              dimension_numbers=(((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    pre = pre + b_ref[:].astype(jnp.float32)
+    pre = pre + skip_ref[0, 0] * h0_ref[:].astype(jnp.float32)
+    out = jnp.maximum(pre, 0.0)
+    if spec.use_dropout:
+        bits = _hash_bits(out.shape, seed_ref[0, 0], p)
+        thresh = jnp.uint32(min(int(spec.dropout_p * 2**32), 2**32 - 1))
+        out = jnp.where(bits >= thresh, out * (1.0 / spec.keep), 0.0)
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def _bwd_kernel(idx_ref, h_ref, h0_ref, w_ref, out_ref, g_ref, skip_ref,
+                dh_ref, dh0_ref, dw_ref, db_ref, dskip_ref,
                 *, spec: FusedConvSpec, te: int):
     p = pl.program_id(0)
     md = spec.mat_dtype
@@ -117,20 +124,20 @@ def _bwd_kernel(nbr_ref, rev_ref, h_ref, h0_ref, w_ref, out_ref, g_ref,
     dpre = jnp.where(out_ref[:].astype(jnp.float32) > 0.0,
                      g_ref[:].astype(jnp.float32) * scale, 0.0)
 
-    m = _build_m(nbr_ref, rev_ref, p * te, te, md)
+    mt = _build_mt(idx_ref, p * te, te, spec.d_nbr, md)
     # dt = dpre @ W^T
     dt = jax.lax.dot_general(dpre.astype(md), w_ref[:].astype(md),
                              dimension_numbers=(((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    # dh = M^T @ dt  (contract edge dim of both)
+    # dh = MT @ dt
     dh_ref[:] = jax.lax.dot_general(
-        m, dt.astype(md), dimension_numbers=(((0,), (0,)), ((), ())),
+        mt, dt.astype(md), dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dh_ref.dtype)
     dh0_ref[:] = (skip_ref[0, 0] * dpre).astype(dh0_ref.dtype)
 
-    # t recomputed for dW
-    t = jax.lax.dot_general(m, h_ref[:].astype(md),
-                            dimension_numbers=(((1,), (0,)), ((), ())),
+    # t recomputed in VMEM for dW
+    t = jax.lax.dot_general(mt, h_ref[:].astype(md),
+                            dimension_numbers=(((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     dw_p = jax.lax.dot_general(t.astype(md), dpre.astype(md),
                                dimension_numbers=(((0,), (0,)), ((), ())),
@@ -149,17 +156,15 @@ def _bwd_kernel(nbr_ref, rev_ref, h_ref, h0_ref, w_ref, out_ref, g_ref,
     dskip_ref[:] += dskip_p.astype(dskip_ref.dtype)
 
 
-def _fwd_call(spec: FusedConvSpec, nbr, rev, h, h0, w, b, skip, seed):
-    PR, D = nbr.shape
-    te = PR // spec.p
+def _fwd_call(spec: FusedConvSpec, idx_t, h, h0, w, b, skip, seed):
+    PD, te = idx_t.shape
+    d_pad = PD // spec.p
     H = w.shape[1]
     return pl.pallas_call(
         functools.partial(_fwd_kernel, spec=spec, te=te),
         grid=(spec.p,),
         in_specs=[
-            pl.BlockSpec((te, D), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((te, 1), lambda i: (i, 0),
+            pl.BlockSpec((d_pad, te), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((te, h.shape[1]), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -167,28 +172,25 @@ def _fwd_call(spec: FusedConvSpec, nbr, rev, h, h0, w, b, skip, seed):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((w.shape[0], H), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((te, H), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((PR, H), spec.out_dtype),
+        out_shape=jax.ShapeDtypeStruct((spec.p * te, H), spec.out_dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * PR * te * h.shape[1] + 2 * PR * h.shape[1] * H,
-            bytes_accessed=PR * (h.shape[1] + 2 * H) * 4,
+            flops=2 * spec.p * te * (te * h.shape[1] + h.shape[1] * H),
+            bytes_accessed=spec.p * te * (h.shape[1] + 2 * H) * 4,
             transcendentals=0),
         interpret=spec.interpret,
-    )(nbr, rev.reshape(PR, 1), h, h0, w, b.reshape(1, H),
-      skip.reshape(1, 1), seed.reshape(1, 1).astype(jnp.int32))
+    )(idx_t, h, h0, w, b.reshape(1, H), skip.reshape(1, 1),
+      seed.reshape(1, 1).astype(jnp.int32))
 
 
-def _bwd_call(spec: FusedConvSpec, nbr, rev, h, h0, w, skip, out, g):
-    PR, D = nbr.shape
-    te = PR // spec.p
+def _bwd_call(spec: FusedConvSpec, idx_t, h, h0, w, skip, out, g):
+    PD, te = idx_t.shape
+    d_pad = PD // spec.p
     H = w.shape[1]
     Hin = w.shape[0]
     blk = lambda shape, imap: pl.BlockSpec(shape, imap,
@@ -197,11 +199,11 @@ def _bwd_call(spec: FusedConvSpec, nbr, rev, h, h0, w, skip, out, g):
     fixed = lambda r, c: blk((r, c), lambda i: (0, 0))
 
     out_shapes = (
-        jax.ShapeDtypeStruct((PR, Hin), spec.out_dtype),   # dh
-        jax.ShapeDtypeStruct((PR, H), spec.out_dtype),     # dh0
-        jax.ShapeDtypeStruct((Hin, H), jnp.float32),       # dW
-        jax.ShapeDtypeStruct((1, H), jnp.float32),         # db
-        jax.ShapeDtypeStruct((1, 1), jnp.float32),         # dskip
+        jax.ShapeDtypeStruct((spec.p * te, Hin), spec.out_dtype),   # dh
+        jax.ShapeDtypeStruct((spec.p * te, H), spec.out_dtype),     # dh0
+        jax.ShapeDtypeStruct((Hin, H), jnp.float32),                # dW
+        jax.ShapeDtypeStruct((1, H), jnp.float32),                  # db
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),                  # dskip
     )
     out_specs = (per_pack(Hin), per_pack(H), fixed(Hin, H), fixed(1, H),
                  fixed(1, 1))
@@ -209,40 +211,40 @@ def _bwd_call(spec: FusedConvSpec, nbr, rev, h, h0, w, skip, out, g):
         functools.partial(_bwd_kernel, spec=spec, te=te),
         grid=(spec.p,),
         in_specs=[
-            per_pack(D), per_pack(1), per_pack(Hin), per_pack(H),
-            fixed(Hin, H), per_pack(H), per_pack(H),
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
+            blk((d_pad, te), lambda i: (i, 0)),
+            per_pack(Hin), per_pack(H), fixed(Hin, H), per_pack(H),
+            per_pack(H),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
         cost_estimate=pl.CostEstimate(
-            flops=6 * PR * te * H + 4 * PR * H * Hin,
-            bytes_accessed=PR * 6 * H * 4,
+            flops=6 * spec.p * te * te * H + 4 * spec.p * te * H * Hin,
+            bytes_accessed=spec.p * te * 6 * H * 4,
             transcendentals=0),
         interpret=spec.interpret,
-    )(nbr, rev.reshape(PR, 1), h, h0, w, out, g, skip.reshape(1, 1))
+    )(idx_t, h, h0, w, out, g, skip.reshape(1, 1))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def fused_conv_layer(spec: FusedConvSpec, h, h0, nbr, rev, w, b, skip, seed):
+def fused_conv_layer(spec: FusedConvSpec, h, h0, idx_t, w, b, skip, seed):
     """h_next = dropout(relu((M @ h) @ w + b + skip * h0)).
 
-    ``skip`` is a scalar array (1.0 when not learnable); ``seed`` an int32
-    scalar array for the in-kernel dropout PRNG."""
-    return _fwd_call(spec, nbr, rev, h, h0, w, b, skip, seed)
+    ``idx_t`` are the transposed message index rows (edge_nbr + rev) from
+    ops.pallas_ops.build_idx_t; ``skip`` a scalar array (1.0 when not
+    learnable); ``seed`` an int32 scalar for the dropout hash."""
+    return _fwd_call(spec, idx_t, h, h0, w, b, skip, seed)
 
 
-def _fcl_fwd(spec, h, h0, nbr, rev, w, b, skip, seed):
-    out = _fwd_call(spec, nbr, rev, h, h0, w, b, skip, seed)
-    return out, (h, h0, nbr, rev, w, skip, out)
+def _fcl_fwd(spec, h, h0, idx_t, w, b, skip, seed):
+    out = _fwd_call(spec, idx_t, h, h0, w, b, skip, seed)
+    return out, (h, h0, idx_t, w, skip, out)
 
 
 def _fcl_bwd(spec, res, g):
-    h, h0, nbr, rev, w, skip, out = res
-    dh, dh0, dw, db, dskip = _bwd_call(
-        spec, nbr, rev, h, h0, w, skip, out, g)
-    return (dh.astype(h.dtype), dh0.astype(h0.dtype), None, None,
+    h, h0, idx_t, w, skip, out = res
+    dh, dh0, dw, db, dskip = _bwd_call(spec, idx_t, h, h0, w, skip, out, g)
+    return (dh.astype(h.dtype), dh0.astype(h0.dtype), None,
             dw.astype(w.dtype), db.reshape(-1).astype(w.dtype),
             dskip.astype(skip.dtype).reshape(skip.shape), None)
 

@@ -6,29 +6,25 @@ packer's locality invariant (data/batch.py: a graph never spans packs, all
 indices are pack-local) to re-express every gather-sum as a *dense matmul*:
 
     out[r] = sum_d src[idx[r, d]] - src[sign_idx[r]]
-           = M @ src        with  M[r, c] = |{d : idx[r,d] == c}| - [sign==c]
+           = M @ src     with  M[r, c] = |{d : idx[r,d] == c}| - [sign==c]
 
-M is built in-VMEM from the int32 index tiles with D+1 vectorized iota
-comparisons (VPU, cheap) and immediately contracted on the MXU against the
-pack's dense [C, H] tile.  One grid step per pack; no irregular DMA at all.
+M is built in-VMEM from int32 index tiles with iota comparisons (VPU) and
+immediately contracted on the MXU against the pack's dense [C, H] tile.
 
-Every op in the model (fwd AND bwd) is an instance of this kernel:
+Layout is everything: the kernel consumes indices in **transposed [D, R]
+rows** and builds M transposed ([C, R], contracted over dim 0), so each
+comparison broadcasts an index **row** across sublanes.  The naive [R, D]
+orientation forces a lane-broadcast per (d, pack) which Mosaic lowers ~300x
+slower (measured on v5e: 28.6 ms vs 0.087 ms for the same op).
 
-    op                       R tile   C tile   D        sign
-    dmpnn_messages fwd       TE       TE       max-deg  rev
-    dmpnn_messages bwd       TE       TE       max-deg  rev
-    node_incoming fwd        TN       TE       max-deg  -
-    node_incoming bwd        TE       TN       1        -
-    gather_nodes fwd         TE       TN       1        -
-    gather_nodes bwd         TN       TE       max-deg  -
-    pool fwd                 TB       TN       max-graph -
-    pool bwd                 TN       TB       1        -
+Every op in the model (fwd AND bwd) is an instance of this kernel — see
+ops/dispatch.py for the mapping and ops/pallas_fused.py for the fully-fused
+conv layer.  Sentinel indices fall outside every pack's local column range
+and contribute zero automatically.
 
-Sentinel indices (== total row count) fall outside every pack's local column
-range and contribute zero automatically.
-
-See /opt/skills/guides/pallas_guide.md for the programming model; reference
-hot loop being replaced: GNN.py:134 (torch_scatter CUDA scatter-add).
+Reference hot loop being replaced: GNN.py:134 (torch_scatter CUDA
+scatter-add); see /opt/skills/guides/pallas_guide.md for the programming
+model.
 """
 
 from __future__ import annotations
@@ -40,93 +36,103 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["onehot_spmm", "onehot_spmm_ref"]
+__all__ = ["build_idx_t", "onehot_spmm_t", "onehot_spmm_ref", "PAD_SENTINEL"]
+
+# never matches any pack-local column after base subtraction
+PAD_SENTINEL = 1 << 30
 
 
-def _kernel(idx_ref, sign_ref, src_ref, out_ref, *, c_tile: int,
-            acc_dtype, mat_dtype):
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def build_idx_t(idx: jax.Array, sign: jax.Array | None, p: int) -> jax.Array:
+    """[p*R, D] (+ optional sign column) -> transposed [p*D_pad, R] rows.
+
+    Row layout per pack: rows 0..D-1 are the summed indices, row D (when
+    ``sign`` is given) is the subtracted index, remaining rows up to the
+    8-aligned D_pad are PAD_SENTINEL.  Pure jnp — runs once per step under
+    jit and is reused by every layer.
+    """
+    PR, D = idx.shape
+    R = PR // p
+    parts = [idx.reshape(p, R, D)]
+    d_tot = D
+    if sign is not None:
+        parts.append(sign.reshape(p, R, 1))
+        d_tot += 1
+    arr = jnp.concatenate(parts, axis=2) if len(parts) > 1 else parts[0]
+    d_pad = _round_up(d_tot, 8)
+    if d_pad != d_tot:
+        pad = jnp.full((p, R, d_pad - d_tot), PAD_SENTINEL, jnp.int32)
+        arr = jnp.concatenate([arr, pad], axis=2)
+    return arr.transpose(0, 2, 1).reshape(p * d_pad, R)
+
+
+def _kernel_t(idx_ref, src_ref, out_ref, *, c_tile: int, d_nbr: int,
+              has_sign: bool, mat_dtype):
     p = pl.program_id(0)
-    base = p * c_tile
-    idx_local = idx_ref[:] - base                       # [R, D]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (idx_ref.shape[0], c_tile), 1)
-
-    m = jnp.zeros((idx_ref.shape[0], c_tile), mat_dtype)
-    for d in range(idx_ref.shape[1]):
-        # 2-D slice avoids a per-d lane->sublane relayout (see pallas_fused)
-        m = m + (cols == idx_local[:, d:d + 1]).astype(mat_dtype)
-    if sign_ref is not None:
-        sign_local = sign_ref[:] - base                 # [R, 1]
-        m = m - (cols == sign_local).astype(mat_dtype)
-
+    il = idx_ref[:] - p * c_tile                     # [D_pad, R]
+    r_tile = idx_ref.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (c_tile, r_tile), 0)
+    mt = jnp.zeros((c_tile, r_tile), mat_dtype)
+    for d in range(d_nbr):
+        mt = mt + (rows == il[d:d + 1, :]).astype(mat_dtype)
+    if has_sign:
+        mt = mt - (rows == il[d_nbr:d_nbr + 1, :]).astype(mat_dtype)
     out_ref[:] = jax.lax.dot_general(
-        m, src_ref[:].astype(mat_dtype),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=acc_dtype,
+        mt, src_ref[:].astype(mat_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     ).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("p", "mat_dtype", "interpret"))
-def onehot_spmm(idx: jax.Array, sign: jax.Array | None, src: jax.Array,
-                p: int, mat_dtype=jnp.bfloat16,
-                interpret: bool = False) -> jax.Array:
-    """out[r] = sum_d src[idx[r,d]] (- src[sign[r]]), blocked into ``p`` packs.
+@functools.partial(jax.jit, static_argnames=("p", "d_nbr", "has_sign",
+                                             "mat_dtype", "out_dtype",
+                                             "interpret"))
+def onehot_spmm_t(idx_t: jax.Array, src: jax.Array, p: int, d_nbr: int,
+                  has_sign: bool, mat_dtype=jnp.bfloat16,
+                  out_dtype=jnp.float32,
+                  interpret: bool = False) -> jax.Array:
+    """out[r] = sum_d src[idx[d, r]] (- src[sign row]), blocked by pack.
 
-    idx:  [p*R, D] int32 global row ids into src (sentinel = p*C)
-    sign: [p*R] int32 or None
-    src:  [p*C, H]
-    ->    [p*R, H] float32
+    idx_t: [p*D_pad, R] int32 from :func:`build_idx_t`
+    src:   [p*C, H]
+    ->     [p*R, H] in ``out_dtype``
     """
-    PR, D = idx.shape
+    PD, R = idx_t.shape
+    D_pad = PD // p
     PC, H = src.shape
-    if PR % p or PC % p:
-        raise ValueError(f"shapes {idx.shape}/{src.shape} not divisible by "
-                         f"p={p}")
-    R, C = PR // p, PC // p
+    C = PC // p
 
-    kernel = functools.partial(_kernel, c_tile=C, acc_dtype=jnp.float32,
-                               mat_dtype=mat_dtype)
-    in_specs = [
-        pl.BlockSpec((R, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
-    ]
-    args = [idx]
-    if sign is not None:
-        in_specs.append(pl.BlockSpec((R, 1), lambda i: (i, 0),
-                                     memory_space=pltpu.VMEM))
-        args.append(sign.reshape(PR, 1))
-    else:
-        kernel = functools.partial(_kernel_nosign, c_tile=C,
-                                   acc_dtype=jnp.float32,
-                                   mat_dtype=mat_dtype)
-    in_specs.append(pl.BlockSpec((C, H), lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM))
-    args.append(src)
-
-    flops = 2 * PR * C * H + PR * C * (D + 1)
+    kernel = functools.partial(_kernel_t, c_tile=C, d_nbr=d_nbr,
+                               has_sign=has_sign, mat_dtype=mat_dtype)
+    flops = 2 * p * C * R * H + p * C * R * (d_nbr + 1)
     return pl.pallas_call(
         kernel,
         grid=(p,),
-        in_specs=in_specs,
+        in_specs=[
+            pl.BlockSpec((D_pad, R), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec((R, H), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((PR, H), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((p * R, H), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=(PR * D + PR + PC * H + PR * H) * 4,
+            bytes_accessed=(PD * R + PC * H + p * R * H) * 4,
             transcendentals=0),
         interpret=interpret,
-    )(*args)
-
-
-def _kernel_nosign(idx_ref, src_ref, out_ref, *, c_tile: int, acc_dtype,
-                   mat_dtype):
-    _kernel(idx_ref, None, src_ref, out_ref, c_tile=c_tile,
-            acc_dtype=acc_dtype, mat_dtype=mat_dtype)
+    )(idx_t, src)
 
 
 def onehot_spmm_ref(idx, sign, src, p=None, **_kw):
-    """Pure-jnp reference (gather path) for testing."""
+    """Pure-jnp gather reference (untransposed [R, D] indices) for testing."""
     ext = jnp.concatenate([src, jnp.zeros((1, src.shape[1]), src.dtype)], 0)
+    idx = jnp.minimum(idx, src.shape[0])
     out = jnp.take(ext, idx, axis=0, mode="clip").sum(axis=1)
     if sign is not None:
-        out = out - jnp.take(ext, sign, axis=0, mode="clip")
+        out = out - jnp.take(ext, jnp.minimum(sign, src.shape[0]), axis=0,
+                             mode="clip")
     return out.astype(jnp.float32)

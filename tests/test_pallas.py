@@ -1,6 +1,6 @@
-"""Pallas one-hot SpMM kernel tests (interpret mode on CPU): kernel vs
-gather reference for every op instance, gradients through the custom VJPs,
-and full-model forward/grad equivalence XLA-path vs Pallas-path."""
+"""Pallas one-hot SpMM kernel tests (interpret mode on CPU): transposed
+kernel vs gather reference for every op instance, gradients through the
+generic custom VJP, and full-model forward/grad equivalence XLA vs Pallas."""
 
 import jax
 import jax.numpy as jnp
@@ -10,8 +10,10 @@ import pytest
 from cgr_mpnn_3d_tpu.chem import RxnGraph
 from cgr_mpnn_3d_tpu.data import pack_graphs, plan_spec
 from cgr_mpnn_3d_tpu.models import CGRMPNNConfig, apply, init_params
-from cgr_mpnn_3d_tpu.ops.dispatch import PallasImpl, dmpnn_messages_p
-from cgr_mpnn_3d_tpu.ops.pallas_ops import onehot_spmm, onehot_spmm_ref
+from cgr_mpnn_3d_tpu.ops.dispatch import (SpmmMeta, build_model_indices,
+                                          spmm_t)
+from cgr_mpnn_3d_tpu.ops.pallas_ops import (build_idx_t, onehot_spmm_ref,
+                                            onehot_spmm_t)
 from cgr_mpnn_3d_tpu.ops.segment import dmpnn_messages
 
 SMILES = ["CCO>>CC=O", "CC(=O)N>>CC(=O)N", "C=CC=C>>C=CC=C",
@@ -39,8 +41,8 @@ class TestKernel:
         h_g = jnp.asarray(rng.standard_normal((spec.total_graphs, H)),
                           jnp.float32)
         cases = [
-            (batch.edge_nbr, batch.rev, h_e),            # messages fwd/bwd
-            (batch.edge_nbr_rev, batch.rev, h_e),
+            (batch.edge_nbr, batch.rev, h_e),            # messages fwd
+            (batch.edge_nbr_rev, batch.rev, h_e),        # messages bwd
             (batch.node_inc, None, h_e),                 # incoming fwd
             (np.asarray(batch.receivers)[:, None], None, h_n),  # incoming bwd
             (np.asarray(batch.senders)[:, None], None, h_n),    # gather fwd
@@ -51,8 +53,10 @@ class TestKernel:
         for idx, sign, src in cases:
             idx = jnp.asarray(idx)
             sign_j = jnp.asarray(sign) if sign is not None else None
-            got = onehot_spmm(idx, sign_j, src, spec.p,
-                              mat_dtype=jnp.float32, interpret=True)
+            idx_t = build_idx_t(idx, sign_j, spec.p)
+            got = onehot_spmm_t(idx_t, src, spec.p, idx.shape[1],
+                                sign is not None, mat_dtype=jnp.float32,
+                                interpret=True)
             expect = onehot_spmm_ref(idx, sign_j, src)
             np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
                                        rtol=1e-5, atol=1e-5)
@@ -61,15 +65,19 @@ class TestKernel:
         graphs, spec, batch = packed
         rng = np.random.default_rng(1)
         ET = spec.total_edges
+        D = batch.edge_nbr.shape[1]
         h = jnp.asarray(rng.standard_normal((ET, 16)), jnp.float32)
         cot = jnp.asarray(rng.standard_normal((ET, 16)), jnp.float32)
-        impl = PallasImpl(p=spec.p, mat_dtype=jnp.float32, interpret=True)
         norm = jnp.ones((ET,), jnp.float32)
+        idxs = build_model_indices(batch, spec.p)
+        meta = lambda d, s: SpmmMeta(d, s, jnp.float32, jnp.float32, True)
 
-        g1 = jax.grad(lambda v: jnp.sum(dmpnn_messages_p(
-            impl, v, batch.edge_nbr, batch.rev, batch.edge_nbr_rev) * cot))(h)
+        g1 = jax.grad(lambda v: jnp.sum(spmm_t(
+            spec.p, meta(D, True), meta(D, True), v,
+            idxs.msg_fwd, idxs.msg_bwd) * cot))(h)
         g2 = jax.grad(lambda v: jnp.sum(dmpnn_messages(
-            v, batch.edge_nbr, batch.rev, batch.edge_nbr_rev, norm) * cot))(h)
+            v, batch.edge_nbr, batch.rev, batch.edge_nbr_rev, norm)
+            * cot))(h)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                    rtol=1e-5, atol=1e-5)
 
@@ -79,11 +87,11 @@ class TestModelEquivalence:
         graphs, spec, batch = packed
         cfg_x = CGRMPNNConfig(num_node_features=78, num_edge_features=14,
                               depth=2, hidden_sizes=(16, 16),
-                              dropout_ps=(0.0, 0.0))
+                              dropout_ps=(0.0, 0.0), activation="SiLU")
         cfg_p = CGRMPNNConfig(num_node_features=78, num_edge_features=14,
                               depth=2, hidden_sizes=(16, 16),
-                              dropout_ps=(0.0, 0.0), use_pallas=True,
-                              pallas_interpret=True)
+                              dropout_ps=(0.0, 0.0), activation="SiLU",
+                              use_pallas=True, pallas_interpret=True)
         params = init_params(jax.random.PRNGKey(0), cfg_x)
         y = jnp.asarray(batch.labels)
         m = jnp.asarray(batch.graph_mask)

@@ -10,6 +10,7 @@ from cgr_mpnn_3d_tpu.chem import RxnGraph
 from cgr_mpnn_3d_tpu.data import pack_graphs, plan_spec
 from cgr_mpnn_3d_tpu.models import CGRMPNNConfig, apply, init_params
 from cgr_mpnn_3d_tpu.ops.pallas_fused import FusedConvSpec, fused_conv_layer
+from cgr_mpnn_3d_tpu.ops.pallas_ops import build_idx_t
 from cgr_mpnn_3d_tpu.ops.segment import dmpnn_messages
 
 SMILES = ["CCO>>CC=O", "CC(=O)N>>CC(=O)N", "C=CC=C>>C=CC=C",
@@ -22,7 +23,10 @@ LABELS = [float(i) for i in range(len(SMILES))]
 def packed():
     graphs = [RxnGraph(s).arrays for s in SMILES]
     spec = plan_spec(graphs, te=64, tn=32, tb=8).with_packs(2)
-    return spec, pack_graphs(graphs, LABELS, spec)
+    batch = pack_graphs(graphs, LABELS, spec)
+    idx_t = build_idx_t(jnp.asarray(batch.edge_nbr),
+                        jnp.asarray(batch.rev), spec.p)
+    return spec, batch, idx_t, batch.edge_nbr.shape[1]
 
 
 def _ref_layer(h, h0, batch, w, b, skip):
@@ -34,23 +38,23 @@ def _ref_layer(h, h0, batch, w, b, skip):
 
 class TestFusedLayer:
     def test_fwd_matches_reference(self, packed):
-        spec, batch = packed
+        spec, batch, idx_t, D = packed
         rng = np.random.default_rng(0)
         ET, H = spec.total_edges, 16
         h = jnp.asarray(rng.standard_normal((ET, H)), jnp.float32)
         h0 = jnp.asarray(rng.standard_normal((ET, H)), jnp.float32)
         w = jnp.asarray(rng.standard_normal((H, H)) * 0.1, jnp.float32)
         b = jnp.asarray(rng.standard_normal(H) * 0.1, jnp.float32)
-        fspec = FusedConvSpec(p=spec.p, mat_dtype=jnp.float32,
+        fspec = FusedConvSpec(p=spec.p, d_nbr=D, mat_dtype=jnp.float32,
                               interpret=True)
-        got = fused_conv_layer(fspec, h, h0, batch.edge_nbr, batch.rev,
+        got = fused_conv_layer(fspec, h, h0, idx_t,
                                w, b, jnp.ones(()), jnp.zeros((), jnp.int32))
         expect = _ref_layer(h, h0, batch, w, b, 1.0)
         np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
                                    rtol=1e-5, atol=1e-5)
 
     def test_bwd_matches_reference(self, packed):
-        spec, batch = packed
+        spec, batch, idx_t, D = packed
         rng = np.random.default_rng(1)
         ET, H = spec.total_edges, 16
         h = jnp.asarray(rng.standard_normal((ET, H)), jnp.float32)
@@ -59,12 +63,11 @@ class TestFusedLayer:
         b = jnp.asarray(rng.standard_normal(H) * 0.1, jnp.float32)
         skip = jnp.asarray(0.7, jnp.float32)
         cot = jnp.asarray(rng.standard_normal((ET, H)), jnp.float32)
-        fspec = FusedConvSpec(p=spec.p, mat_dtype=jnp.float32,
+        fspec = FusedConvSpec(p=spec.p, d_nbr=D, mat_dtype=jnp.float32,
                               interpret=True, learnable_skip=True)
 
         def loss_fused(h_, h0_, w_, b_, s_):
-            out = fused_conv_layer(fspec, h_, h0_, batch.edge_nbr,
-                                   batch.rev, w_, b_, s_,
+            out = fused_conv_layer(fspec, h_, h0_, idx_t, w_, b_, s_,
                                    jnp.zeros((), jnp.int32))
             return jnp.sum(out * cot)
 
@@ -78,34 +81,35 @@ class TestFusedLayer:
                                        rtol=1e-4, atol=1e-4)
 
     def test_dropout_deterministic_and_scaled(self, packed):
-        spec, batch = packed
+        spec, batch, idx_t, D = packed
         rng = np.random.default_rng(2)
         ET, H = spec.total_edges, 16
         h = jnp.asarray(rng.standard_normal((ET, H)), jnp.float32)
         h0 = jnp.zeros((ET, H), jnp.float32)
         w = jnp.eye(H, dtype=jnp.float32)
         b = jnp.zeros(H, jnp.float32)
-        fspec = FusedConvSpec(p=spec.p, dropout_p=0.5, train=True,
+        fspec = FusedConvSpec(p=spec.p, d_nbr=D, dropout_p=0.5, train=True,
                               mat_dtype=jnp.float32, interpret=True)
         seed = jnp.asarray(42, jnp.int32)
-        o1 = np.asarray(fused_conv_layer(fspec, h, h0, batch.edge_nbr,
-                                         batch.rev, w, b, jnp.ones(()), seed))
-        o2 = np.asarray(fused_conv_layer(fspec, h, h0, batch.edge_nbr,
-                                         batch.rev, w, b, jnp.ones(()), seed))
+        o1 = np.asarray(fused_conv_layer(fspec, h, h0, idx_t,
+                                         w, b, jnp.ones(()), seed))
+        o2 = np.asarray(fused_conv_layer(fspec, h, h0, idx_t,
+                                         w, b, jnp.ones(()), seed))
         np.testing.assert_array_equal(o1, o2)  # same seed -> same mask
-        o3 = np.asarray(fused_conv_layer(fspec, h, h0, batch.edge_nbr,
-                                         batch.rev, w, b, jnp.ones(()),
+        o3 = np.asarray(fused_conv_layer(fspec, h, h0, idx_t,
+                                         w, b, jnp.ones(()),
                                          jnp.asarray(43, jnp.int32)))
         assert not np.array_equal(o1, o3)
         # dropped entries are exactly zero; kept are scaled by 2
         nodrop = np.asarray(fused_conv_layer(
-            FusedConvSpec(p=spec.p, mat_dtype=jnp.float32, interpret=True),
-            h, h0, batch.edge_nbr, batch.rev, w, b, jnp.ones(()), seed))
+            FusedConvSpec(p=spec.p, d_nbr=D, mat_dtype=jnp.float32,
+                          interpret=True),
+            h, h0, idx_t, w, b, jnp.ones(()), seed))
         kept = o1 != 0
         np.testing.assert_allclose(o1[kept], 2.0 * nodrop[kept], rtol=1e-5)
 
     def test_full_model_fused_matches_xla(self, packed):
-        spec, batch = packed
+        spec, batch, idx_t, D = packed
         cfg_x = CGRMPNNConfig(num_node_features=78, num_edge_features=14,
                               depth=3, hidden_sizes=(16,) * 3,
                               dropout_ps=(0.0,) * 3)
