@@ -90,6 +90,9 @@ class RxnGraphTrainer:
     logger: MetricsLogger | None = None
     resume_from: str | None = None
     log_param_norms: bool = False
+    # failure detection: after this many consecutive non-finite losses the
+    # run aborts; single spikes roll back to the last saved state
+    max_bad_steps: int = 3
 
     def __post_init__(self):
         self.train_loader = PackedLoader(self.train_data, self.spec,
@@ -170,9 +173,27 @@ class RxnGraphTrainer:
         total = 0.0
         self.train_loader.set_epoch(epoch_idx)
         self._timer.reset_epoch()
+        bad = 0
+        last_good = state
         for batch in self.train_loader.prefetch():
-            state, loss = self._train_step(state, batch)
-            total += float(loss)
+            new_state, loss = self._train_step(state, batch)
+            loss_f = float(loss)
+            if not np.isfinite(loss_f):
+                # NaN/inf guard (reference has none, SURVEY.md §5): drop the
+                # poisoned update, roll back, count consecutive failures
+                bad += 1
+                msg = {"event": "non_finite_loss", "epoch": epoch_idx,
+                       "consecutive": bad}
+                (self.logger.log(msg) if self.logger else print(msg))
+                if bad >= self.max_bad_steps:
+                    raise FloatingPointError(
+                        f"{bad} consecutive non-finite losses at epoch "
+                        f"{epoch_idx}; aborting (last checkpoint is intact)")
+                state = last_good
+                continue
+            bad = 0
+            state, last_good = new_state, new_state
+            total += loss_f
             self._timer.tick()
         self.state = state
         rmse = float(np.sqrt(total / len(self.train_data)))

@@ -82,6 +82,30 @@ class TestTrainer:
         assert len(out_a["train_losses"]) == 4
         assert len(out_c["train_losses"]) == 2
 
+    def test_nan_guard_rolls_back_and_aborts(self, demo_ds, spec, tmp_path):
+        import jax.numpy as jnp
+        tr = _mk_trainer(demo_ds, spec, tmp_path, num_epochs=1)
+        real_step = tr._train_step
+        calls = {"n": 0}
+
+        def poisoned(state, batch):
+            calls["n"] += 1
+            s, l = real_step(state, batch)
+            if calls["n"] == 1:
+                return s, jnp.asarray(float("nan"))
+            return s, l
+
+        tr._train_step = poisoned
+        out = tr.train()  # single spike -> rolled back, run completes
+        assert np.isfinite(out["train_losses"]).all()
+
+        tr2 = _mk_trainer(demo_ds, spec, tmp_path, num_epochs=1,
+                          model_save_dir=str(tmp_path / "m2"),
+                          max_bad_steps=2)
+        tr2._train_step = lambda s, b: (s, jnp.asarray(float("nan")))
+        with pytest.raises(FloatingPointError):
+            tr2.train()
+
     def test_logger_jsonl(self, demo_ds, spec, tmp_path):
         logger = MetricsLogger("run1", log_dir=tmp_path / "runs",
                                config={"lr": 1e-3}, stdout=False)
