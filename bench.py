@@ -31,6 +31,11 @@ def main() -> None:
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
     ap.add_argument("--mace-dim", type=int, default=192)
+    ap.add_argument("--te", type=int, default=256,
+                    help="edge slots per pack (message matmul is O(te) per "
+                         "edge -> smaller tiles win until fill drops)")
+    ap.add_argument("--tn", type=int, default=128)
+    ap.add_argument("--tb", type=int, default=16)
     ap.add_argument("--no-pallas", action="store_true",
                     help="use the XLA gather path instead of Pallas kernels")
     ap.add_argument("--cpu", action="store_true",
@@ -58,7 +63,7 @@ def main() -> None:
     rng = np.random.default_rng(0)
     graphs = synthetic_graphs(args.graphs, rng, node_feat_dim=nf)
     n_edges_real = sum(g.num_edges for g in graphs)
-    spec = plan_spec(graphs, te=512, tn=256, tb=32)
+    spec = plan_spec(graphs, te=args.te, tn=args.tn, tb=args.tb)
     from cgr_mpnn_3d_tpu.data.batch import packs_needed
     spec = spec.with_packs(packs_needed(graphs, spec, fill_target=0.92))
     batch = pack_graphs(graphs, [0.0] * len(graphs), spec)
