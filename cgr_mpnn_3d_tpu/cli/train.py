@@ -101,6 +101,7 @@ def train(args) -> dict:
         val_data = ChemDataset(str(val_csv),
                                data_npz_path=str(data_path / "val.npz"))
 
+    from ..utils.platform import maybe_enable_pallas
     cfg = CGRMPNNConfig(
         num_node_features=train_data.num_node_features,
         num_edge_features=train_data.num_edge_features,
@@ -112,6 +113,7 @@ def train(args) -> dict:
         compute_dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16"
         else jnp.float32,
     )
+    cfg = maybe_enable_pallas(cfg)  # TPU: one-hot SpMM kernels
 
     print("Featurizing training set...")
     train_data.prefeaturize()

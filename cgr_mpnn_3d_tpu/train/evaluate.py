@@ -45,6 +45,8 @@ def load_model(ckpt_path: str | Path) -> tuple[dict, CGRMPNNConfig, dict]:
 def predict(params: dict, cfg: CGRMPNNConfig, dataset: ChemDataset,
             spec: PackSpec, batch_size: int = 64) -> np.ndarray:
     """Predictions for every dataset row, in row order."""
+    from ..utils.platform import maybe_enable_pallas
+    cfg = maybe_enable_pallas(cfg)
     loader = PackedLoader(dataset, spec, batch_size=batch_size, shuffle=False)
     run_spec = loader.spec
     step = jax.jit(lambda p, b: apply(p, b, cfg, run_spec))
