@@ -31,6 +31,7 @@ import numpy as np
 from ..data.batch import PackedGraphBatch, PackSpec
 from ..ops.dispatch import SpmmMeta, build_model_indices, spmm_t
 from ..ops.pallas_fused import FusedConvSpec, fused_conv_layer
+from ..ops.pallas_stack import ConvStackSpec, fused_conv_stack
 from ..ops.segment import (dmpnn_messages, gather_nodes, graph_pool_sum,
                            node_incoming_sum)
 
@@ -199,30 +200,47 @@ def apply(params: dict, batch: PackedGraphBatch, cfg: CGRMPNNConfig,
 
     use_fused = use_pallas and cfg.activation == "ReLU"
     if use_fused:
-        # fully-fused conv layers: one kernel per layer, edge states kept in
-        # compute dtype end-to-end (ops/pallas_fused.py)
         store_dt = dt if dt == jnp.bfloat16 else jnp.float32
-        fbase = dict(p=spec.p, d_nbr=D,
-                     learnable_skip=cfg.use_learnable_skip,
-                     mat_dtype=(jnp.bfloat16 if dt == jnp.bfloat16
-                                else jnp.float32),
-                     out_dtype=store_dt, interpret=cfg.pallas_interpret)
+        md = jnp.bfloat16 if dt == jnp.bfloat16 else jnp.float32
+        do_train = train and rng is not None
+        if do_train:
+            seeds = jnp.stack([
+                jax.random.randint(k, (), 0, 2**31 - 1, dtype=jnp.int32)
+                for k in drop_keys])
+        else:
+            seeds = jnp.zeros((cfg.depth,), jnp.int32)
+        skips = (jnp.stack(params["skip_weights"])
+                 if cfg.use_learnable_skip
+                 else jnp.ones((cfg.depth,), jnp.float32))
         h0c = h0.astype(store_dt)
-        h = h0c
-        for l in range(cfg.depth):
-            do_drop = train and drop_keys[l] is not None \
-                and cfg.dropout_ps[l] > 0.0
-            fspec = FusedConvSpec(dropout_p=cfg.dropout_ps[l],
-                                  train=do_drop, **fbase)
-            seed = (jax.random.randint(drop_keys[l], (), 0, 2**31 - 1,
-                                       dtype=jnp.int32)
-                    if do_drop else jnp.zeros((), jnp.int32))
-            skip_w = (params["skip_weights"][l] if cfg.use_learnable_skip
-                      else jnp.ones((), jnp.float32))
-            h = fused_conv_layer(fspec, h, h0c, idxs.msg_fwd,
-                                 params["convs"][l]["w"],
-                                 params["convs"][l]["b"], skip_w, seed)
-            if capture:
+        if not capture:
+            # whole-depth stack kernel: edge state stays in VMEM across all
+            # layers; backward replays in VMEM (ops/pallas_stack.py)
+            sspec = ConvStackSpec(
+                p=spec.p, d_nbr=D, depth=cfg.depth,
+                dropout_ps=tuple(cfg.dropout_ps), train=do_train,
+                learnable_skip=cfg.use_learnable_skip, mat_dtype=md,
+                out_dtype=store_dt, interpret=cfg.pallas_interpret)
+            w_stack = jnp.stack([params["convs"][l]["w"]
+                                 for l in range(cfg.depth)])
+            b_stack = jnp.stack([params["convs"][l]["b"]
+                                 for l in range(cfg.depth)])
+            h = fused_conv_stack(sspec, h0c, idxs.msg_fwd, w_stack,
+                                 b_stack, skips, seeds)
+        else:
+            # per-layer kernels when intermediate activations are requested
+            fbase = dict(p=spec.p, d_nbr=D,
+                         learnable_skip=cfg.use_learnable_skip,
+                         mat_dtype=md, out_dtype=store_dt,
+                         interpret=cfg.pallas_interpret)
+            h = h0c
+            for l in range(cfg.depth):
+                fspec = FusedConvSpec(dropout_p=cfg.dropout_ps[l],
+                                      train=do_train, **fbase)
+                h = fused_conv_layer(fspec, h, h0c, idxs.msg_fwd,
+                                     params["convs"][l]["w"],
+                                     params["convs"][l]["b"],
+                                     skips[l], seeds[l])
                 acts[f"h_{l}"] = h
         h = h.astype(jnp.float32)
     else:
