@@ -31,6 +31,7 @@ import numpy as np
 from ..data.batch import PackedGraphBatch, PackSpec
 from ..ops.dispatch import SpmmMeta, build_model_indices, spmm_t
 from ..ops.pallas_fused import FusedConvSpec, fused_conv_layer
+from ..ops.pallas_glin import GatherLinearSpec, fused_gather_linear
 from ..ops.pallas_stack import ConvStackSpec, fused_conv_stack
 from ..ops.segment import (dmpnn_messages, gather_nodes, graph_pool_sum,
                            node_incoming_sum)
@@ -188,8 +189,21 @@ def apply(params: dict, batch: PackedGraphBatch, cfg: CGRMPNNConfig,
     else:
         norm = jnp.ones((batch.senders.shape[0],), jnp.float32)
 
-    x_src = _gather_nodes(x, batch.senders, batch.node_out)
-    h0 = act(_linear_cat(params["edge_init"], x_src, e, dt))
+    use_fused = use_pallas and cfg.activation == "ReLU"
+    F = x.shape[1]
+
+    if use_fused and not capture:
+        # fused edge_init: relu((S @ x) @ W_x + e @ W_e + b) in one kernel
+        store0 = dt if dt == jnp.bfloat16 else jnp.float32
+        glspec = GatherLinearSpec(p=spec.p, d_nbr=1,
+                                  mat_dtype=md, out_dtype=store0,
+                                  interpret=cfg.pallas_interpret)
+        wei = params["edge_init"]["w"]
+        h0 = fused_gather_linear(glspec, x, e, idxs.gather_fwd,
+                                 wei[:F], wei[F:], params["edge_init"]["b"])
+    else:
+        x_src = _gather_nodes(x, batch.senders, batch.node_out)
+        h0 = act(_linear_cat(params["edge_init"], x_src, e, dt))
     if capture:
         acts["h0"] = h0
 
@@ -197,8 +211,6 @@ def apply(params: dict, batch: PackedGraphBatch, cfg: CGRMPNNConfig,
         drop_keys = list(jax.random.split(rng, cfg.depth))
     else:
         drop_keys = [None] * cfg.depth
-
-    use_fused = use_pallas and cfg.activation == "ReLU"
     if use_fused:
         store_dt = dt if dt == jnp.bfloat16 else jnp.float32
         md = jnp.bfloat16 if dt == jnp.bfloat16 else jnp.float32
@@ -258,13 +270,24 @@ def apply(params: dict, batch: PackedGraphBatch, cfg: CGRMPNNConfig,
                 acts[f"h_{l}"] = h
 
     # readout: unparameterized incoming sum (conv-layer reuse, GNN.py:105)
-    s = _incoming(h, batch.node_inc, batch.receivers)
-    if cfg.aggr == "mean":
-        s = s * inv_deg[:, None]
-    hn = act(_linear_cat(params["edge_to_node"], x, s, dt))
-    if capture:
-        acts["s"] = s
-        acts["h_node"] = hn
+    if use_fused and not capture:
+        # fused: relu((Inc @ h) @ W_s + x @ W_x + b) in one kernel
+        glspec_r = GatherLinearSpec(p=spec.p, d_nbr=D,
+                                    mat_dtype=md,
+                                    out_dtype=jnp.float32,
+                                    interpret=cfg.pallas_interpret)
+        wen = params["edge_to_node"]["w"]
+        hn = fused_gather_linear(glspec_r, h.astype(h0.dtype), x,
+                                 idxs.inc_fwd, wen[F:], wen[:F],
+                                 params["edge_to_node"]["b"])
+    else:
+        s = _incoming(h, batch.node_inc, batch.receivers)
+        if cfg.aggr == "mean":
+            s = s * inv_deg[:, None]
+        hn = act(_linear_cat(params["edge_to_node"], x, s, dt))
+        if capture:
+            acts["s"] = s
+            acts["h_node"] = hn
 
     pooled = _pool(hn, batch.graph_nodes, batch.graph_of_node)
     out = _linear(params["ffn"], pooled, dt)[:, 0]

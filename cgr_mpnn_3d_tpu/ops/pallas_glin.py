@@ -1,0 +1,196 @@
+"""Fused gather-linear Pallas kernel:  out = relu((G @ xa) @ Wa + xb @ Wb + b)
+
+Covers the two remaining HBM-heavy stages around the conv stack
+(GNN.py:52-55/84-87 edge_init and GNN.py:63-65/105-107 edge_to_node):
+
+    stage        G (one-hot)              xa        xb    out rows
+    edge_init    senders   [TN -> TE]     node_x    e     TE   (h0)
+    readout      node_inc  [TE -> TN]     h_final   x     TN   (h_node)
+
+The reference computes these as Linear([gathered ++ other]) — here the
+concat is split into two matmuls and everything (gather matrix build, both
+matmuls, bias, ReLU) runs in one VMEM pass per pack.  The backward reuses
+the in-VMEM G for its transpose contraction (dxa = G @ (dpre @ Wa^T)) and
+accumulates dWa/dWb/db across packs, so no reverse index arrays are needed.
+
+ReLU-only (the reference default); other activations take the semi-fused
+path in models/cgr_mpnn.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["GatherLinearSpec", "fused_gather_linear"]
+
+
+@dataclass(frozen=True)
+class GatherLinearSpec:
+    p: int
+    d_nbr: int                  # neighbor rows in idx_t (no sign row)
+    mat_dtype: object = jnp.bfloat16
+    out_dtype: object = jnp.bfloat16
+    interpret: bool = False
+
+
+def _build_g(idx_ref, base, c_tile, d_nbr, dtype):
+    il = idx_ref[:] - base
+    r_tile = idx_ref.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (c_tile, r_tile), 0)
+    g = jnp.zeros((c_tile, r_tile), dtype)
+    for d in range(d_nbr):
+        g = g + (rows == il[d:d + 1, :]).astype(dtype)
+    return g
+
+
+def _fwd_kernel(idx_ref, xa_ref, xb_ref, wa_ref, wb_ref, b_ref, out_ref,
+                *, spec: GatherLinearSpec, ca: int):
+    p = pl.program_id(0)
+    md = spec.mat_dtype
+    g = _build_g(idx_ref, p * ca, ca, spec.d_nbr, md)
+    t1 = jax.lax.dot_general(g, xa_ref[:].astype(md),
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    pre = jax.lax.dot_general(t1.astype(md), wa_ref[:].astype(md),
+                              dimension_numbers=(((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    pre = pre + jax.lax.dot_general(
+        xb_ref[:].astype(md), wb_ref[:].astype(md),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    pre = pre + b_ref[:].astype(jnp.float32)
+    out_ref[:] = jnp.maximum(pre, 0.0).astype(out_ref.dtype)
+
+
+def _bwd_kernel(idx_ref, xa_ref, xb_ref, wa_ref, wb_ref, out_ref, g_ref,
+                dxa_ref, dxb_ref, dwa_ref, dwb_ref, db_ref,
+                *, spec: GatherLinearSpec, ca: int):
+    p = pl.program_id(0)
+    md = spec.mat_dtype
+    dpre = jnp.where(out_ref[:].astype(jnp.float32) > 0.0,
+                     g_ref[:].astype(jnp.float32), 0.0)
+    gmat = _build_g(idx_ref, p * ca, ca, spec.d_nbr, md)
+
+    # dxa = G @ (dpre @ Wa^T)
+    dt = jax.lax.dot_general(dpre.astype(md), wa_ref[:].astype(md),
+                             dimension_numbers=(((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dxa_ref[:] = jax.lax.dot_general(
+        gmat, dt.astype(md), dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dxa_ref.dtype)
+    # dxb = dpre @ Wb^T
+    dxb_ref[:] = jax.lax.dot_general(
+        dpre.astype(md), wb_ref[:].astype(md),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dxb_ref.dtype)
+
+    t1 = jax.lax.dot_general(gmat, xa_ref[:].astype(md),
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dwa_p = jax.lax.dot_general(t1.astype(md), dpre.astype(md),
+                                dimension_numbers=(((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    dwb_p = jax.lax.dot_general(xb_ref[:].astype(md), dpre.astype(md),
+                                dimension_numbers=(((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    db_p = jnp.sum(dpre, axis=0, keepdims=True)
+
+    @pl.when(p == 0)
+    def _():
+        dwa_ref[:] = jnp.zeros_like(dwa_ref)
+        dwb_ref[:] = jnp.zeros_like(dwb_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    dwa_ref[:] += dwa_p
+    dwb_ref[:] += dwb_p
+    db_ref[:] += db_p
+
+
+def _specs(spec, d_pad, r, ca, fa, fb, h):
+    return [
+        pl.BlockSpec((d_pad, r), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((ca, fa), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((r, fb), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((fa, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((fb, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+
+
+def _fwd_call(spec, idx_t, xa, xb, wa, wb, b):
+    PD, R = idx_t.shape
+    d_pad = PD // spec.p
+    CA, FA = xa.shape
+    ca = CA // spec.p
+    FB = xb.shape[1]
+    H = wa.shape[1]
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, spec=spec, ca=ca),
+        grid=(spec.p,),
+        in_specs=_specs(spec, d_pad, R, ca, FA, FB, H) + [
+            pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((R, H), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((spec.p * R, H), spec.out_dtype),
+        interpret=spec.interpret,
+    )(idx_t, xa, xb, wa, wb, b.reshape(1, H))
+
+
+def _bwd_call(spec, idx_t, xa, xb, wa, wb, out, g):
+    PD, R = idx_t.shape
+    d_pad = PD // spec.p
+    CA, FA = xa.shape
+    ca = CA // spec.p
+    FB = xb.shape[1]
+    H = wa.shape[1]
+    per_r = lambda w_: pl.BlockSpec((R, w_), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+    fixed = lambda a_, b_: pl.BlockSpec((a_, b_), lambda i: (0, 0),
+                                        memory_space=pltpu.VMEM)
+    out_shapes = (
+        jax.ShapeDtypeStruct((CA, FA), spec.out_dtype),     # dxa
+        jax.ShapeDtypeStruct((spec.p * R, FB), spec.out_dtype),  # dxb
+        jax.ShapeDtypeStruct((FA, H), jnp.float32),         # dWa
+        jax.ShapeDtypeStruct((FB, H), jnp.float32),         # dWb
+        jax.ShapeDtypeStruct((1, H), jnp.float32),          # db
+    )
+    out_specs = (
+        pl.BlockSpec((ca, FA), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        per_r(FB), fixed(FA, H), fixed(FB, H), fixed(1, H),
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, spec=spec, ca=ca),
+        grid=(spec.p,),
+        in_specs=_specs(spec, d_pad, R, ca, FA, FB, H) + [per_r(H),
+                                                          per_r(H)],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=spec.interpret,
+    )(idx_t, xa, xb, wa, wb, out, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_gather_linear(spec: GatherLinearSpec, xa, xb, idx_t, wa, wb, b):
+    """relu((G @ xa) @ wa + xb @ wb + b) with G built from idx_t rows."""
+    return _fwd_call(spec, idx_t, xa, xb, wa, wb, b)
+
+
+def _fgl_fwd(spec, xa, xb, idx_t, wa, wb, b):
+    out = _fwd_call(spec, idx_t, xa, xb, wa, wb, b)
+    return out, (xa, xb, idx_t, wa, wb, out)
+
+
+def _fgl_bwd(spec, res, g):
+    xa, xb, idx_t, wa, wb, out = res
+    dxa, dxb, dwa, dwb, db = _bwd_call(spec, idx_t, xa, xb, wa, wb, out, g)
+    return (dxa.astype(xa.dtype), dxb.astype(xb.dtype), None,
+            dwa.astype(wa.dtype), dwb.astype(wb.dtype),
+            db.reshape(-1).astype(wa.dtype))
+
+
+fused_gather_linear.defvjp(_fgl_fwd, _fgl_bwd)
