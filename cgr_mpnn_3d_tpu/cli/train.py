@@ -51,9 +51,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     help="log to wandb if available (JSONL always written)")
     ap.add_argument("--compute_dtype", default="float32",
                     choices=["float32", "bfloat16"])
-    ap.add_argument("--pack_te", default=512, type=int)
-    ap.add_argument("--pack_tn", default=256, type=int)
-    ap.add_argument("--pack_tb", default=32, type=int)
+    ap.add_argument("--pack_te", default=256, type=int)
+    ap.add_argument("--pack_tn", default=128, type=int)
+    ap.add_argument("--pack_tb", default=16, type=int)
     ap.add_argument("--skip_test", action="store_true")
     return ap
 

@@ -46,9 +46,9 @@ __all__ = ["PackSpec", "PackedGraphBatch", "pack_graphs", "plan_spec"]
 @dataclass(frozen=True)
 class PackSpec:
     """Static packing geometry (hashable; part of the jit compile key)."""
-    te: int = 512          # edge slots per pack
-    tn: int = 256          # node slots per pack
-    tb: int = 32           # graph slots per pack
+    te: int = 256          # edge slots per pack (tuned on v5e, see bench.py)
+    tn: int = 128          # node slots per pack
+    tb: int = 16           # graph slots per pack
     d: int = 8             # ELL width: max node in-degree
     dn: int = 64           # max nodes per single graph (pooling ELL width)
     p: int = 1             # packs per batch
@@ -93,8 +93,8 @@ class PackedGraphBatch(NamedTuple):
         return self.graph_mask.sum()
 
 
-def plan_spec(graphs: Sequence[GraphArrays], te: int = 512, tn: int = 256,
-              tb: int = 32, margin: int = 2) -> PackSpec:
+def plan_spec(graphs: Sequence[GraphArrays], te: int = 256, tn: int = 128,
+              tb: int = 16, margin: int = 2) -> PackSpec:
     """Derive ELL widths (d, dn) from data, keeping tile sizes as given."""
     max_deg = 1
     max_nodes = 1
