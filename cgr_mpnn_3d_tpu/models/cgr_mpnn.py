@@ -32,6 +32,7 @@ from ..data.batch import PackedGraphBatch, PackSpec
 from ..ops.dispatch import SpmmMeta, build_model_indices, spmm_t
 from ..ops.pallas_fused import FusedConvSpec, fused_conv_layer
 from ..ops.pallas_glin import GatherLinearSpec, fused_gather_linear
+from ..ops.pallas_model import ModelKernelSpec, fused_model
 from ..ops.pallas_stack import ConvStackSpec, fused_conv_stack
 from ..ops.segment import (dmpnn_messages, gather_nodes, graph_pool_sum,
                            node_incoming_sum)
@@ -60,6 +61,7 @@ class CGRMPNNConfig:
     compute_dtype: Any = jnp.float32       # bf16 on TPU for speed; f32 parity
     use_pallas: bool = False               # one-hot SpMM kernels (needs spec)
     pallas_interpret: bool = False         # kernel interpreter (CPU tests)
+    fuse_whole_model: bool = True          # single-kernel fwd/bwd per pack
 
     def __post_init__(self):
         object.__setattr__(self, "hidden_sizes",
@@ -191,6 +193,38 @@ def apply(params: dict, batch: PackedGraphBatch, cfg: CGRMPNNConfig,
 
     use_fused = use_pallas and cfg.activation == "ReLU"
     F = x.shape[1]
+
+    if use_fused and not capture and cfg.fuse_whole_model:
+        # entire network in one fwd kernel + one bwd kernel per pack
+        # (ops/pallas_model.py); activations never leave VMEM
+        do_train = train and rng is not None
+        if do_train:
+            seeds = jnp.stack([
+                jax.random.randint(k, (), 0, 2**31 - 1, dtype=jnp.int32)
+                for k in jax.random.split(rng, cfg.depth)])
+        else:
+            seeds = jnp.zeros((cfg.depth,), jnp.int32)
+        skips = (jnp.stack(params["skip_weights"])
+                 if cfg.use_learnable_skip
+                 else jnp.ones((cfg.depth,), jnp.float32))
+        mspec = ModelKernelSpec(
+            p=spec.p, d_nbr=D, dn_pool=batch.graph_nodes.shape[1],
+            depth=cfg.depth, dropout_ps=tuple(cfg.dropout_ps),
+            train=do_train, learnable_skip=cfg.use_learnable_skip,
+            mat_dtype=md, interpret=cfg.pallas_interpret)
+        wei = params["edge_init"]["w"]
+        wen = params["edge_to_node"]["w"]
+        w_stack = jnp.stack([params["convs"][l]["w"]
+                             for l in range(cfg.depth)])
+        b_stack = jnp.stack([params["convs"][l]["b"]
+                             for l in range(cfg.depth)])
+        return fused_model(
+            mspec, x.astype(md), e.astype(md),
+            idxs.gather_fwd, idxs.msg_fwd, idxs.inc_fwd, idxs.pool_fwd,
+            wei[:F], wei[F:], params["edge_init"]["b"],
+            w_stack, b_stack, skips,
+            wen[F:], wen[:F], params["edge_to_node"]["b"],
+            params["ffn"]["w"], params["ffn"]["b"], seeds)
 
     if use_fused and not capture:
         # fused edge_init: relu((S @ x) @ W_x + e @ W_e + b) in one kernel
