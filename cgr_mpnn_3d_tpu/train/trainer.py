@@ -129,7 +129,9 @@ class RxnGraphTrainer:
             updates, opt_state = optimizer.update(grads, state.opt_state,
                                                   state.params)
             params = optax.apply_updates(state.params, updates)
-            return TrainState(params, opt_state, state.step + 1, rng), loss
+            gnorm = optax.global_norm(grads)
+            return TrainState(params, opt_state, state.step + 1, rng), \
+                loss, gnorm
 
         @jax.jit
         def _eval_step(params, batch: PackedGraphBatch):
@@ -175,8 +177,9 @@ class RxnGraphTrainer:
         self._timer.reset_epoch()
         bad = 0
         last_good = state
+        gnorm = None
         for batch in self.train_loader.prefetch():
-            new_state, loss = self._train_step(state, batch)
+            new_state, loss, gnorm = self._train_step(state, batch)
             loss_f = float(loss)
             if not np.isfinite(loss_f):
                 # NaN/inf guard (reference has none, SURVEY.md §5): drop the
@@ -202,6 +205,8 @@ class RxnGraphTrainer:
                    **self._timer.stats()}
             if self.log_param_norms:
                 rec["param_norm"] = float(optax.global_norm(state.params))
+                if gnorm is not None:
+                    rec["grad_norm"] = float(gnorm)
             self.logger.log(rec)
         else:
             print(f"\n______epoch {epoch_idx}\nTrain loss, RMSE: {rmse:.4f}")

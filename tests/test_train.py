@@ -90,10 +90,10 @@ class TestTrainer:
 
         def poisoned(state, batch):
             calls["n"] += 1
-            s, l = real_step(state, batch)
+            s, l, g = real_step(state, batch)
             if calls["n"] == 1:
-                return s, jnp.asarray(float("nan"))
-            return s, l
+                return s, jnp.asarray(float("nan")), g
+            return s, l, g
 
         tr._train_step = poisoned
         out = tr.train()  # single spike -> rolled back, run completes
@@ -102,7 +102,8 @@ class TestTrainer:
         tr2 = _mk_trainer(demo_ds, spec, tmp_path, num_epochs=1,
                           model_save_dir=str(tmp_path / "m2"),
                           max_bad_steps=2)
-        tr2._train_step = lambda s, b: (s, jnp.asarray(float("nan")))
+        tr2._train_step = lambda s, b: (s, jnp.asarray(float("nan")),
+                                        jnp.asarray(0.0))
         with pytest.raises(FloatingPointError):
             tr2.train()
 
