@@ -85,6 +85,11 @@ def main() -> None:
     opt_state = opt.init(params)
     batch = jax.device_put(batch)
 
+    from cgr_mpnn_3d_tpu.models.cgr_mpnn import (fused_train_value_and_grad,
+                                                 supports_fused_train)
+    use_fused_train = supports_fused_train(cfg)
+    print(f"fused one-kernel train step: {use_fused_train}", file=sys.stderr)
+
     def loss_fn(params):
         preds = apply(params, batch, cfg, spec)
         err = (preds - batch.labels) * batch.graph_mask
@@ -92,7 +97,11 @@ def main() -> None:
 
     def one_step(carry, _):
         params, opt_state = carry
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        if use_fused_train:
+            loss, grads = fused_train_value_and_grad(params, batch, cfg,
+                                                     spec, None)
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state), loss

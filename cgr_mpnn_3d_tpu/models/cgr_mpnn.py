@@ -32,7 +32,8 @@ from ..data.batch import PackedGraphBatch, PackSpec
 from ..ops.dispatch import SpmmMeta, build_model_indices, spmm_t
 from ..ops.pallas_fused import FusedConvSpec, fused_conv_layer
 from ..ops.pallas_glin import GatherLinearSpec, fused_gather_linear
-from ..ops.pallas_model import ModelKernelSpec, fused_model
+from ..ops.pallas_model import (ModelKernelSpec, fused_model,
+                                fused_model_train)
 from ..ops.pallas_stack import ConvStackSpec, fused_conv_stack
 from ..ops.segment import (dmpnn_messages, gather_nodes, graph_pool_sum,
                            node_incoming_sum)
@@ -329,3 +330,75 @@ def apply(params: dict, batch: PackedGraphBatch, cfg: CGRMPNNConfig,
         acts["pooled"] = pooled
         return out, acts
     return out
+
+
+def supports_fused_train(cfg: CGRMPNNConfig) -> bool:
+    """Whether the one-kernel training step applies to this config."""
+    return (cfg.use_pallas and cfg.fuse_whole_model
+            and cfg.activation == "ReLU" and cfg.aggr == "add")
+
+
+def fused_train_value_and_grad(params: dict, batch: PackedGraphBatch,
+                               cfg: CGRMPNNConfig, spec: PackSpec,
+                               rng: jax.Array | None):
+    """(sse, grads-pytree) computed by ONE Pallas kernel per pack
+    (ops/pallas_model.fused_model_train) — no jax.grad, no separate
+    forward.  Semantically identical to
+    ``jax.value_and_grad(sse_loss)(params, batch, cfg, True, rng, spec)``
+    (verified in tests/test_pallas_model.py)."""
+    md = jnp.bfloat16 if cfg.compute_dtype == jnp.bfloat16 else jnp.float32
+    x = batch.node_x.astype(md)
+    e = batch.edge_attr.astype(md)
+    idxs = build_model_indices(batch, spec.p)
+    D = batch.edge_nbr.shape[1]
+    F = x.shape[1]
+    do_train = rng is not None
+    if do_train:
+        seeds = jnp.stack([
+            jax.random.randint(k, (), 0, 2**31 - 1, dtype=jnp.int32)
+            for k in jax.random.split(rng, cfg.depth)])
+    else:
+        seeds = jnp.zeros((cfg.depth,), jnp.int32)
+    skips = (jnp.stack(params["skip_weights"]) if cfg.use_learnable_skip
+             else jnp.ones((cfg.depth,), jnp.float32))
+    mspec = ModelKernelSpec(
+        p=spec.p, d_nbr=D, dn_pool=batch.graph_nodes.shape[1],
+        depth=cfg.depth, dropout_ps=tuple(cfg.dropout_ps), train=do_train,
+        learnable_skip=cfg.use_learnable_skip, mat_dtype=md,
+        interpret=cfg.pallas_interpret)
+    wei = params["edge_init"]["w"]
+    wen = params["edge_to_node"]["w"]
+    w_stack = jnp.stack([params["convs"][l]["w"] for l in range(cfg.depth)])
+    b_stack = jnp.stack([params["convs"][l]["b"] for l in range(cfg.depth)])
+    flat = (wei[:F], wei[F:], params["edge_init"]["b"], w_stack, b_stack,
+            skips, wen[F:], wen[:F], params["edge_to_node"]["b"],
+            params["ffn"]["w"], params["ffn"]["b"], seeds)
+    sse, g = fused_model_train(
+        mspec, x, e,
+        (idxs.gather_fwd, idxs.msg_fwd, idxs.inc_fwd, idxs.pool_fwd),
+        flat, jnp.asarray(batch.labels), jnp.asarray(batch.graph_mask))
+    (dwx, dwe, dbe, dwc, dbc, dskips, dws, dwxn, dben, dwffn, dbffn) = g
+
+    def _cast(val, like):
+        return val.astype(like.dtype)
+
+    grads = {
+        "edge_init": {
+            "w": _cast(jnp.concatenate([dwx, dwe], axis=0), wei),
+            "b": _cast(dbe.reshape(-1), params["edge_init"]["b"]),
+        },
+        "convs": [{"w": _cast(dwc[l], params["convs"][l]["w"]),
+                   "b": _cast(dbc[l], params["convs"][l]["b"])}
+                  for l in range(cfg.depth)],
+        "edge_to_node": {
+            "w": _cast(jnp.concatenate([dwxn, dws], axis=0), wen),
+            "b": _cast(dben.reshape(-1), params["edge_to_node"]["b"]),
+        },
+        "ffn": {"w": _cast(dwffn, params["ffn"]["w"]),
+                "b": _cast(dbffn.reshape(-1), params["ffn"]["b"])},
+    }
+    if cfg.use_learnable_skip:
+        grads["skip_weights"] = [
+            dskips[0, l].astype(params["skip_weights"][l].dtype)
+            for l in range(cfg.depth)]
+    return sse, grads

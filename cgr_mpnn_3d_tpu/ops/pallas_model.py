@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_fused import _build_mt, _hash_bits
 
-__all__ = ["ModelKernelSpec", "fused_model"]
+__all__ = ["ModelKernelSpec", "fused_model", "fused_model_train"]
 
 
 @dataclass(frozen=True)
@@ -144,12 +144,21 @@ def _fwd_kernel(*refs, spec: ModelKernelSpec):
     out_ref[:] = preds.astype(out_ref.dtype)
 
 
-def _bwd_kernel(*refs, spec: ModelKernelSpec):
+def _bwd_kernel(*refs, spec: ModelKernelSpec, with_loss: bool = False):
+    """Backward (replay + grads). With ``with_loss``, the cotangent is
+    derived in-kernel from labels/mask (dpred = 2*mask*(pred-y)) and the
+    masked SSE partial is accumulated — a complete training step's compute
+    in ONE kernel, no separate forward pass."""
     p = pl.program_id(0)
     ins = refs[:18]
-    dpred_ref = refs[18]
-    (dwx_ref, dwe_ref, dbe_ref, dwc_ref, dbc_ref, dskip_ref, dws_ref,
-     dwxn_ref, dben_ref, dwffn_ref, dbffn_ref) = refs[19:]
+    if with_loss:
+        labels_ref, mask_ref = refs[18], refs[19]
+        (loss_ref, dwx_ref, dwe_ref, dbe_ref, dwc_ref, dbc_ref, dskip_ref,
+         dws_ref, dwxn_ref, dben_ref, dwffn_ref, dbffn_ref) = refs[20:]
+    else:
+        dpred_ref = refs[18]
+        (dwx_ref, dwe_ref, dbe_ref, dwc_ref, dbc_ref, dskip_ref, dws_ref,
+         dwxn_ref, dben_ref, dwffn_ref, dbffn_ref) = refs[19:]
     (idx_send, idx_msg, idx_inc, idx_pool, x_ref, e_ref, wx, we, be, wc, bc,
      skips, ws, wxn, ben, wffn, bffn, seeds) = ins
     md = spec.mat_dtype
@@ -162,8 +171,16 @@ def _bwd_kernel(*refs, spec: ModelKernelSpec):
         for r in (dwx_ref, dwe_ref, dbe_ref, dwc_ref, dbc_ref, dskip_ref,
                   dws_ref, dwxn_ref, dben_ref, dwffn_ref, dbffn_ref):
             r[:] = jnp.zeros_like(r)
+        if with_loss:
+            loss_ref[:] = jnp.zeros_like(loss_ref)
 
-    dpred = dpred_ref[:].astype(jnp.float32)                # [TB, 1]
+    if with_loss:
+        err = (preds - labels_ref[:].astype(jnp.float32)) \
+            * mask_ref[:].astype(jnp.float32)
+        loss_ref[:] += jnp.sum(err * err).reshape(1, 1)
+        dpred = 2.0 * err                                   # [TB, 1]
+    else:
+        dpred = dpred_ref[:].astype(jnp.float32)            # [TB, 1]
     # ffn head
     dwffn_ref[:] += _outerT(pooled, dpred, md)
     dbffn_ref[:] += jnp.sum(dpred, axis=0, keepdims=True)
@@ -307,6 +324,56 @@ def _bwd_call(spec, x, e, idxs, params_flat, dpred):
             transcendentals=0),
         interpret=spec.interpret,
     )(*args, dpred)
+
+
+def fused_model_train(spec: ModelKernelSpec, x, e, idxs, params_flat,
+                      labels, mask):
+    """One-kernel training compute: returns (sse, grads_flat) where
+    grads_flat = (dwx, dwe, dbe, dwc, dbc, dskips, dws, dwxn, dben, dwffn,
+    dbffn).  No autodiff involved — the kernel replays the forward and
+    derives the loss cotangent from labels/mask internally."""
+    args = _prep_args(spec, x, e, idxs, params_flat)
+    wc = params_flat[3]
+    L, _, H = wc.shape
+    F, Fe = x.shape[1], e.shape[1]
+    tn, te, tb, dps, dpm, dpi, dnp_ = _dims(x, e, idxs, wc, spec.p)
+    vm = pltpu.VMEM
+    fixed = lambda *shape: pl.BlockSpec(shape, (lambda i: (0,) * len(shape)),
+                                        memory_space=vm)
+    out_shapes = (
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),    # sse
+        jax.ShapeDtypeStruct((F, H), jnp.float32),    # dwx
+        jax.ShapeDtypeStruct((Fe, H), jnp.float32),   # dwe
+        jax.ShapeDtypeStruct((1, H), jnp.float32),    # dbe
+        jax.ShapeDtypeStruct((L, H, H), jnp.float32), # dwc
+        jax.ShapeDtypeStruct((L, H), jnp.float32),    # dbc
+        jax.ShapeDtypeStruct((1, L), jnp.float32),    # dskips
+        jax.ShapeDtypeStruct((H, H), jnp.float32),    # dws
+        jax.ShapeDtypeStruct((F, H), jnp.float32),    # dwxn
+        jax.ShapeDtypeStruct((1, H), jnp.float32),    # dben
+        jax.ShapeDtypeStruct((H, 1), jnp.float32),    # dwffn
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),    # dbffn
+    )
+    out_specs = (fixed(1, 1), fixed(F, H), fixed(Fe, H), fixed(1, H),
+                 fixed(L, H, H), fixed(L, H), fixed(1, L), fixed(H, H),
+                 fixed(F, H), fixed(1, H), fixed(H, 1), fixed(1, 1))
+    in_specs = _in_specs(spec, dpm, dps, dpi, dnp_, te, tn, tb, F, Fe, H, L)
+    per_tb = pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=vm)
+    in_specs += [per_tb, per_tb]
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, spec=spec, with_loss=True),
+        grid=(spec.p,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * spec.p * te * spec.depth * (te + H) * H,
+            bytes_accessed=spec.p * (tn * F + te * Fe) * 4,
+            transcendentals=0),
+        interpret=spec.interpret,
+    )(*args, labels[:, None].astype(jnp.float32),
+      mask[:, None].astype(jnp.float32))
+    return outs[0].reshape(()), outs[1:]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))

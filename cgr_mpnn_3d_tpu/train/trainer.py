@@ -34,7 +34,9 @@ import optax
 from ..data.batch import PackedGraphBatch, PackSpec
 from ..data.dataset import ChemDataset
 from ..data.loader import PackedLoader
-from ..models.cgr_mpnn import CGRMPNNConfig, apply, init_params
+from ..models.cgr_mpnn import (CGRMPNNConfig, apply,
+                               fused_train_value_and_grad, init_params,
+                               supports_fused_train)
 from .checkpoint import save_checkpoint, load_checkpoint, restore_into
 from .metrics import MetricsLogger
 from .profiler import StepTimer
@@ -121,11 +123,18 @@ class RxnGraphTrainer:
         # the loader fixes the pack count; the model needs it for Pallas
         step_spec = self.train_loader.spec
 
+        use_fused_train = supports_fused_train(cfg)
+
         @jax.jit
         def _train_step(state: TrainState, batch: PackedGraphBatch):
             rng, sub = jax.random.split(state.rng)
-            loss, grads = jax.value_and_grad(sse_loss)(
-                state.params, batch, cfg, True, sub, step_spec)
+            if use_fused_train:
+                # one-kernel loss+grads (ops/pallas_model.fused_model_train)
+                loss, grads = fused_train_value_and_grad(
+                    state.params, batch, cfg, step_spec, sub)
+            else:
+                loss, grads = jax.value_and_grad(sse_loss)(
+                    state.params, batch, cfg, True, sub, step_spec)
             updates, opt_state = optimizer.update(grads, state.opt_state,
                                                   state.params)
             params = optax.apply_updates(state.params, updates)

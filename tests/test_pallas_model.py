@@ -85,6 +85,29 @@ class TestWholeModelKernel:
         assert not np.allclose(p_tr1[mask], p_eval[mask])
         assert not np.allclose(p_tr1[mask], p_tr3[mask])
 
+    def test_fused_train_step_matches_autodiff(self, packed):
+        from cgr_mpnn_3d_tpu.models.cgr_mpnn import (
+            fused_train_value_and_grad, supports_fused_train)
+        from cgr_mpnn_3d_tpu.train import sse_loss
+        spec, batch = packed
+        cfg_x, cfg_m = _cfgs(learnable=True)
+        assert supports_fused_train(cfg_m)
+        params = init_params(jax.random.PRNGKey(9), cfg_x)
+        params["skip_weights"] = [jnp.asarray(v) for v in (1.0, 0.4, -0.6)]
+
+        sse_f, g_f = fused_train_value_and_grad(params, batch, cfg_m, spec,
+                                                None)
+        sse_a, g_a = jax.value_and_grad(sse_loss)(params, batch, cfg_x,
+                                                  False, None)
+        np.testing.assert_allclose(float(sse_f), float(sse_a), rtol=1e-4)
+        flat_a = jax.tree_util.tree_flatten_with_path(g_a)[0]
+        flat_f = jax.tree_util.tree_leaves(g_f)
+        assert len(flat_a) == len(flat_f)
+        for (path, a), b in zip(flat_a, flat_f):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=3e-3, atol=3e-3,
+                err_msg=jax.tree_util.keystr(path))
+
     def test_train_grads_finite_with_dropout(self, packed):
         spec, batch = packed
         cfg = CGRMPNNConfig(num_node_features=78, num_edge_features=14,
