@@ -52,6 +52,9 @@ class PackSpec:
     d: int = 8             # ELL width: max node in-degree
     dn: int = 64           # max nodes per single graph (pooling ELL width)
     p: int = 1             # packs per batch
+    feat_dtype: str = "float32"   # host->device feature transfer dtype;
+                                  # "float16" halves input-pipeline bytes
+                                  # (features are mostly exact one-hots)
 
     @property
     def total_edges(self) -> int:
@@ -66,7 +69,8 @@ class PackSpec:
         return self.tb * self.p
 
     def with_packs(self, p: int) -> "PackSpec":
-        return PackSpec(self.te, self.tn, self.tb, self.d, self.dn, p)
+        return PackSpec(self.te, self.tn, self.tb, self.d, self.dn, p,
+                        self.feat_dtype)
 
 
 class PackedGraphBatch(NamedTuple):
@@ -143,8 +147,9 @@ def pack_graphs(graphs: Sequence[GraphArrays],
 
     ET, NT, BT = spec.total_edges, spec.total_nodes, spec.total_graphs
 
-    node_x = np.zeros((NT, n_feat), np.float32)
-    edge_attr = np.zeros((ET, e_feat), np.float32)
+    fdt = np.dtype(spec.feat_dtype)
+    node_x = np.zeros((NT, n_feat), fdt)
+    edge_attr = np.zeros((ET, e_feat), fdt)
     senders = np.full(ET, NT, np.int32)
     receivers = np.full(ET, NT, np.int32)
     rev = np.full(ET, ET, np.int32)

@@ -174,3 +174,43 @@ class TestLoader:
         b = list(PackedLoader(ds, spec, batch_size=3, shuffle=False).prefetch())
         assert len(a) == len(b)
         np.testing.assert_array_equal(a[0].node_x, b[0].node_x)
+
+
+class TestFeatDtype:
+    def test_float16_packing_runs_model(self):
+        import jax
+        from cgr_mpnn_3d_tpu.models import CGRMPNNConfig, apply, init_params
+        graphs = [RxnGraph(s).arrays for s in SMILES]
+        spec = plan_spec(graphs, te=64, tn=32, tb=4)
+        spec16 = PackSpec(spec.te, spec.tn, spec.tb, spec.d, spec.dn, 1,
+                          "float16")
+        b32 = pack_graphs(graphs, [1.0, 2.0, 3.0], spec.with_packs(1))
+        b16 = pack_graphs(graphs, [1.0, 2.0, 3.0], spec16)
+        assert b16.node_x.dtype == np.float16
+        cfg = CGRMPNNConfig(num_node_features=78, num_edge_features=14,
+                            depth=2, hidden_sizes=(16, 16),
+                            dropout_ps=(0.0, 0.0))
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        p32 = np.asarray(apply(params, b32, cfg))
+        p16 = np.asarray(apply(params, b16, cfg))
+        mask = np.asarray(b32.graph_mask) > 0
+        np.testing.assert_allclose(p16[mask], p32[mask], rtol=2e-3, atol=2e-3)
+
+
+class TestMultihost:
+    def test_host_shard_disjoint_cover(self):
+        from cgr_mpnn_3d_tpu.parallel.multihost import host_shard
+        shards = [host_shard(10, process_id=i, num_processes=3)
+                  for i in range(3)]
+        allrows = np.concatenate(shards)
+        assert sorted(allrows.tolist()) == list(range(10))
+        for i in range(3):
+            for j in range(i + 1, 3):
+                assert not set(shards[i]) & set(shards[j])
+
+    def test_initialize_noop_single_process(self, monkeypatch):
+        from cgr_mpnn_3d_tpu.parallel import multihost
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+        multihost.initialize()  # must not raise or try to connect
+        assert multihost.is_primary()
