@@ -16,16 +16,33 @@ import time
 import numpy as np
 
 
-def _time(fn, *args, repeats=5):
+def _time(fn, *args, repeats=3, scan_len=16):
+    """Scan-based timing: the tunneled axon runtime caches standalone
+    jit executions (standalone timings can exceed hardware peak); a
+    lax.scan whose carry feeds the next iteration forces real compute."""
     import jax
-    out = fn(*args)
+    import jax.numpy as jnp
+
+    first = args[0]
+
+    @jax.jit
+    def run(x):
+        def body(c, _):
+            out = fn(c, *args[1:])
+            # fold the output back into the carry so iterations depend
+            nxt = (c * 0.999 + 1e-12 * jnp.sum(out).astype(c.dtype)
+                   ).astype(c.dtype)
+            return nxt, None
+        return jax.lax.scan(body, x, None, length=scan_len)[0]
+
+    out = run(first)
     jax.block_until_ready(out)
     best = np.inf
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = fn(*args)
+        out = run(first)
         jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
+        best = min(best, (time.perf_counter() - t0) / scan_len)
     return best
 
 
