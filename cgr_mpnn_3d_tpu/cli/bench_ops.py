@@ -30,8 +30,11 @@ def _time(fn, *args, repeats=3, scan_len=16):
         def body(c, _):
             out = fn(c, *args[1:])
             # fold the output back into the carry so iterations depend
-            nxt = (c * 0.999 + 1e-12 * jnp.sum(out).astype(c.dtype)
-                   ).astype(c.dtype)
+            tot = sum(jnp.sum(l).astype(jnp.float32)
+                      for l in jax.tree_util.tree_leaves(out))
+            nxt = jax.tree_util.tree_map(
+                lambda a: (a.astype(jnp.float32) * 0.999
+                           + 1e-12 * tot).astype(a.dtype), c)
             return nxt, None
         return jax.lax.scan(body, x, None, length=scan_len)[0]
 
@@ -89,8 +92,10 @@ def main(argv=None) -> None:
     D = batch.edge_nbr.shape[1]
     idxs = build_model_indices(batch, spec.p)
     idxs = jax.tree_util.tree_map(jax.device_put, idxs)
-    meta = SpmmMeta(D, True)
-    fspec = FusedConvSpec(p=spec.p, d_nbr=D, out_dtype=jnp.bfloat16)
+    interp = bool(args.cpu)
+    meta = SpmmMeta(D, True, interpret=interp)
+    fspec = FusedConvSpec(p=spec.p, d_nbr=D, out_dtype=jnp.bfloat16,
+                          interpret=interp)
 
     results = {}
 
@@ -129,7 +134,8 @@ def main(argv=None) -> None:
     cfg = CGRMPNNConfig(num_node_features=78, num_edge_features=14,
                         depth=4, hidden_sizes=(H,) * 4,
                         dropout_ps=(0.0,) * 4,
-                        compute_dtype=jnp.bfloat16, use_pallas=True)
+                        compute_dtype=jnp.bfloat16, use_pallas=True,
+                        pallas_interpret=interp)
     params = init_params(key, cfg)
 
     fwd = jax.jit(lambda p: apply(p, batch, cfg, spec).sum())
