@@ -91,6 +91,10 @@ class PackedGraphBatch(NamedTuple):
     graph_nodes: np.ndarray   # [BT, DN] i32, node ids  (sentinel NT)
     labels: np.ndarray        # [BT]     f32
     graph_mask: np.ndarray    # [BT]     f32 (1 = real graph)
+    row_ids: np.ndarray       # [BT]     i32 input row of each slot (-1 pad):
+                              # first-fit may backfill an earlier pack, so
+                              # slot order is NOT input order — consumers
+                              # needing row order (predict) must use this
 
     @property
     def num_real_graphs(self):
@@ -132,6 +136,7 @@ def pack_graphs(graphs: Sequence[GraphArrays],
                 labels: Sequence[float],
                 spec: PackSpec,
                 extra_node_feats: Sequence[np.ndarray] | None = None,
+                row_ids: Sequence[int] | None = None,
                 ) -> PackedGraphBatch:
     """Bin-pack graphs into ``spec.p`` packs (first-fit) and emit one batch.
 
@@ -161,6 +166,9 @@ def pack_graphs(graphs: Sequence[GraphArrays],
     graph_nodes = np.full((BT, spec.dn), NT, np.int32)
     labels_out = np.zeros(BT, np.float32)
     graph_mask = np.zeros(BT, np.float32)
+    row_ids_out = np.full(BT, -1, np.int32)
+    row_ids = (list(range(len(graphs))) if row_ids is None
+               else list(row_ids))
 
     # per-pack fill counters
     e_fill = np.zeros(spec.p, np.int32)
@@ -218,6 +226,7 @@ def pack_graphs(graphs: Sequence[GraphArrays],
         graph_nodes[g_off, :nn] = np.arange(n_off, n_off + nn, dtype=np.int32)
         labels_out[g_off] = labels[gi]
         graph_mask[g_off] = 1.0
+        row_ids_out[g_off] = row_ids[gi]
 
         e_fill[pk] += ne
         n_fill[pk] += nn
@@ -225,7 +234,8 @@ def pack_graphs(graphs: Sequence[GraphArrays],
 
     return PackedGraphBatch(node_x, edge_attr, senders, receivers, rev,
                             edge_nbr, edge_nbr_rev, node_inc, node_out,
-                            graph_of_node, graph_nodes, labels_out, graph_mask)
+                            graph_of_node, graph_nodes, labels_out,
+                            graph_mask, row_ids_out)
 
 
 def packs_needed(graphs: Sequence[GraphArrays], spec: PackSpec,

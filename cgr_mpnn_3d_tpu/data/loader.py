@@ -68,7 +68,8 @@ class PackedLoader:
             extra = ([self.dataset.extra_feats(i) for i in window]
                      if self.dataset.use_npz else None)
             try:
-                return pack_graphs(graphs, labels, self.spec, extra), n
+                return pack_graphs(graphs, labels, self.spec, extra,
+                                   row_ids=window), n
             except ValueError:
                 if n == 1:
                     raise

@@ -74,7 +74,7 @@ def make_dp_train_step(optimizer: optax.GradientTransformation,
         return TrainState(params, opt_state, state.step + 1, new_rng), loss
 
     batch_spec = jax.tree_util.tree_map(
-        lambda _: P(("dp", "ep")), PackedGraphBatch(*[0] * 13))
+        lambda _: P(("dp", "ep")), PackedGraphBatch(*[0] * 14))
     smapped = jax.shard_map(
         per_device, mesh=mesh,
         in_specs=(P(), batch_spec),
@@ -92,7 +92,7 @@ def make_dp_eval_step(cfg: CGRMPNNConfig, mesh: Mesh):
         return jax.lax.psum(jnp.sum(err * err), ("dp", "ep"))
 
     batch_spec = jax.tree_util.tree_map(
-        lambda _: P(("dp", "ep")), PackedGraphBatch(*[0] * 13))
+        lambda _: P(("dp", "ep")), PackedGraphBatch(*[0] * 14))
     smapped = jax.shard_map(per_device, mesh=mesh,
                             in_specs=(P(), batch_spec), out_specs=P(),
                             check_vma=False)

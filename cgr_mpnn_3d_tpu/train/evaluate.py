@@ -50,12 +50,18 @@ def predict(params: dict, cfg: CGRMPNNConfig, dataset: ChemDataset,
     loader = PackedLoader(dataset, spec, batch_size=batch_size, shuffle=False)
     run_spec = loader.spec
     step = jax.jit(lambda p, b: apply(p, b, cfg, run_spec))
-    preds = []
+    rows, preds = [], []
     for batch in loader:
         out = np.asarray(step(params, batch))
         mask = np.asarray(batch.graph_mask) > 0
         preds.append(out[mask])
-    return np.concatenate(preds)
+        rows.append(np.asarray(batch.row_ids)[mask])
+    preds = np.concatenate(preds)
+    rows = np.concatenate(rows)
+    # slot order != input order (first-fit backfill); restore row order
+    out = np.empty_like(preds)
+    out[rows] = preds
+    return out
 
 
 def evaluate(params: dict, cfg: CGRMPNNConfig, dataset: ChemDataset,

@@ -214,3 +214,53 @@ class TestMultihost:
         monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
         multihost.initialize()  # must not raise or try to connect
         assert multihost.is_primary()
+
+
+class TestRowOrder:
+    def test_predict_order_with_backfill(self, tmp_path):
+        """First-fit backfill: a later small graph can land in an earlier
+        pack; predictions must still come back in dataset row order."""
+        import jax
+        from cgr_mpnn_3d_tpu.models import CGRMPNNConfig, apply, init_params
+        from cgr_mpnn_3d_tpu.train import predict
+
+        # large, large, small, small: with te sized so pack0 takes
+        # [large, small(backfill)] and pack1 [large, small]
+        smis = ["CCCCCCCCCC>>CCCCCCCCCC",    # 10 atoms, 18 edges
+                "CCCCCCCCC>>CCCCCCCCC",      # 9 atoms, 16 edges
+                "CO>>CO",                    # 2 atoms, 2 edges
+                "CC>>CC"]                    # 2 atoms
+        p = tmp_path / "d.csv"
+        p.write_text("smiles,y\n" +
+                     "\n".join(f"{s},{i}.0" for i, s in enumerate(smis)) + "\n")
+        ds = ChemDataset(str(p))
+        graphs = [ds.graph(i) for i in range(len(ds))]
+        spec = plan_spec(graphs, te=20, tn=12, tb=2)
+
+        cfg = CGRMPNNConfig(num_node_features=78, num_edge_features=14,
+                            depth=2, hidden_sizes=(8, 8),
+                            dropout_ps=(0.0, 0.0))
+        params = init_params(jax.random.PRNGKey(0), cfg)
+
+        got = predict(params, cfg, ds, spec, batch_size=4)
+
+        # per-graph singleton reference, in dataset order
+        one_spec = plan_spec(graphs, te=32, tn=16, tb=1).with_packs(1)
+        expect = []
+        for i in range(len(ds)):
+            b = pack_graphs([graphs[i]], [0.0], one_spec)
+            out = np.asarray(apply(params, b, cfg))
+            expect.append(out[np.asarray(b.graph_mask) > 0][0])
+        np.testing.assert_allclose(got, np.asarray(expect), rtol=1e-4,
+                                   atol=1e-4)
+
+    def test_backfill_actually_occurs(self):
+        # sanity: the scenario above really does reorder slots
+        smis = ["CCCCCCCCCC>>CCCCCCCCCC", "CCCCCCCCC>>CCCCCCCCC",
+                "CO>>CO", "CC>>CC"]
+        graphs = [RxnGraph(s).arrays for s in smis]
+        spec = plan_spec(graphs, te=20, tn=12, tb=2).with_packs(3)
+        batch = pack_graphs(graphs, [0.0] * 4, spec)
+        rows = np.asarray(batch.row_ids)
+        real = rows[rows >= 0]
+        assert not np.array_equal(real, np.sort(real))  # reordered!
