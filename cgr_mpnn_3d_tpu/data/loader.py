@@ -84,10 +84,9 @@ class PackedLoader:
             take = self.batch_size - len(pending)
             pending.extend(order[pos:pos + take])
             pos += take
-            if len(pending) < self.batch_size and pos >= len(order):
-                if self.drop_last and pos >= len(order) and len(pending) < self.batch_size:
-                    if not pending:
-                        return
+            if (self.drop_last and pos >= len(order)
+                    and len(pending) < self.batch_size):
+                return  # skip the final partial batch
             batch, used = self._pack_window(pending)
             pending = pending[used:]
             yield batch

@@ -264,3 +264,15 @@ class TestRowOrder:
         rows = np.asarray(batch.row_ids)
         real = rows[rows >= 0]
         assert not np.array_equal(real, np.sort(real))  # reordered!
+
+
+class TestDropLast:
+    def test_drop_last_skips_partial(self, csv_path):
+        ds = ChemDataset(csv_path)  # 3 rows
+        spec = plan_spec([ds.graph(i) for i in range(len(ds))],
+                         te=64, tn=32, tb=2)
+        full = list(PackedLoader(ds, spec, batch_size=2, shuffle=False))
+        dropped = list(PackedLoader(ds, spec, batch_size=2, shuffle=False,
+                                    drop_last=True))
+        assert len(full) == 2 and len(dropped) == 1
+        assert int(dropped[0].graph_mask.sum()) == 2
