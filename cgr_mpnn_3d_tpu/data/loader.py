@@ -37,11 +37,15 @@ class PackedLoader:
     shuffle: bool = True
     seed: int = 0
     drop_last: bool = False
+    use_native: bool | None = None   # None = auto (C++ packer if built)
 
     def __post_init__(self):
         packs = max(1, int(np.ceil(self.batch_size / self.spec.tb)))
         self.spec = self.spec.with_packs(packs)
         self._epoch = 0
+        if self.use_native is None:
+            from .. import native
+            self.use_native = native.available()
 
     def __len__(self) -> int:
         return int(np.ceil(len(self.dataset) / self.batch_size))
@@ -68,6 +72,11 @@ class PackedLoader:
             extra = ([self.dataset.extra_feats(i) for i in window]
                      if self.dataset.use_npz else None)
             try:
+                if self.use_native:
+                    from .. import native
+                    return native.pack_graphs_native(
+                        graphs, labels, self.spec, extra,
+                        row_ids=window), n
                 return pack_graphs(graphs, labels, self.spec, extra,
                                    row_ids=window), n
             except ValueError:

@@ -17,7 +17,8 @@ import numpy as np
 
 from ..chem.featurize import GraphArrays
 
-__all__ = ["available", "featurize", "NativeError", "build"]
+__all__ = ["available", "featurize", "pack_graphs_native", "NativeError",
+           "build"]
 
 _DIR = Path(__file__).resolve().parent
 _SO = _DIR / "libcgrfeat.so"
@@ -66,6 +67,16 @@ def _load():
             [np.ctypeslib.ndpointer(np.float32)] * 2 + \
             [np.ctypeslib.ndpointer(np.int32)] * 2
         lib.cgr_graph_free.argtypes = [ctypes.c_void_p]
+        f32 = np.ctypeslib.ndpointer(np.float32, flags="C")
+        i32 = np.ctypeslib.ndpointer(np.int32, flags="C")
+        lib.cgr_pack_graphs.restype = ctypes.c_int
+        lib.cgr_pack_graphs.argtypes = (
+            [ctypes.c_int32] * 6            # spec
+            + [ctypes.c_int32, i32, i32]    # n_graphs, node/edge counts
+            + [f32, ctypes.c_int32, f32, ctypes.c_int32]  # feats + dims
+            + [i32, i32, f32, i32]          # senders, receivers, labels, rows
+            + [f32, f32, i32, i32, i32, i32, i32, i32, i32, i32, i32,
+               f32, f32, i32])              # outputs
         _lib = lib
         return _lib
 
@@ -100,3 +111,72 @@ def featurize(smiles: str, mode: str = "rxn") -> GraphArrays:
         lib.cgr_graph_free(h)
     rev = (np.arange(e, dtype=np.int32) ^ 1) if e else np.zeros((0,), np.int32)
     return GraphArrays(node_feats, edge_feats, senders, receivers, rev)
+
+
+def pack_graphs_native(graphs, labels, spec, extra_node_feats=None,
+                       row_ids=None):
+    """Native equivalent of data.batch.pack_graphs (same semantics, same
+    sentinels; bit-parity asserted in tests/test_native.py).  Falls back is
+    the caller's responsibility (check available())."""
+    from ..data.batch import PackedGraphBatch
+
+    lib = _load()
+    n_graphs = len(graphs)
+    n_feat = graphs[0].node_feats.shape[1]
+    if extra_node_feats is not None:
+        n_feat += extra_node_feats[0].shape[1]
+    e_feat = graphs[0].edge_feats.shape[1]
+
+    node_counts = np.asarray([g.num_nodes for g in graphs], np.int32)
+    edge_counts = np.asarray([g.num_edges for g in graphs], np.int32)
+    if extra_node_feats is None:
+        node_feats = np.ascontiguousarray(
+            np.concatenate([g.node_feats for g in graphs], axis=0))
+    else:
+        node_feats = np.ascontiguousarray(np.concatenate(
+            [np.concatenate([g.node_feats,
+                             np.asarray(x, np.float32)], axis=1)
+             for g, x in zip(graphs, extra_node_feats)], axis=0))
+    edge_feats = np.ascontiguousarray(
+        np.concatenate([g.edge_feats for g in graphs], axis=0))
+    senders = np.ascontiguousarray(
+        np.concatenate([g.senders for g in graphs]))
+    receivers = np.ascontiguousarray(
+        np.concatenate([g.receivers for g in graphs]))
+    labels_in = np.asarray(labels, np.float32)
+    rows_in = (np.arange(n_graphs, dtype=np.int32) if row_ids is None
+               else np.asarray(list(row_ids), np.int32))
+
+    ET, NT, BT = spec.total_edges, spec.total_nodes, spec.total_graphs
+    out = PackedGraphBatch(
+        node_x=np.empty((NT, n_feat), np.float32),
+        edge_attr=np.empty((ET, e_feat), np.float32),
+        senders=np.empty(ET, np.int32),
+        receivers=np.empty(ET, np.int32),
+        rev=np.empty(ET, np.int32),
+        edge_nbr=np.empty((ET, spec.d), np.int32),
+        edge_nbr_rev=np.empty((ET, spec.d), np.int32),
+        node_inc=np.empty((NT, spec.d), np.int32),
+        node_out=np.empty((NT, spec.d), np.int32),
+        graph_of_node=np.empty(NT, np.int32),
+        graph_nodes=np.empty((BT, spec.dn), np.int32),
+        labels=np.empty(BT, np.float32),
+        graph_mask=np.empty(BT, np.float32),
+        row_ids=np.empty(BT, np.int32),
+    )
+    rc = lib.cgr_pack_graphs(
+        spec.p, spec.te, spec.tn, spec.tb, spec.d, spec.dn,
+        n_graphs, node_counts, edge_counts,
+        node_feats, n_feat, edge_feats, e_feat,
+        senders, receivers, labels_in, rows_in,
+        out.node_x, out.edge_attr, out.senders, out.receivers, out.rev,
+        out.edge_nbr, out.edge_nbr_rev, out.node_inc, out.node_out,
+        out.graph_of_node, out.graph_nodes, out.labels, out.graph_mask,
+        out.row_ids)
+    if rc != 0:
+        raise ValueError(lib.cgr_last_error().decode())
+    if np.dtype(spec.feat_dtype) != np.float32:
+        out = out._replace(
+            node_x=out.node_x.astype(spec.feat_dtype),
+            edge_attr=out.edge_attr.astype(spec.feat_dtype))
+    return out

@@ -730,6 +730,8 @@ extern "C" {
 
 const char* cgr_last_error() { return g_last_error.c_str(); }
 
+void cgr_set_error(const char* msg) { g_last_error = msg; }
+
 // Returns an opaque graph handle or nullptr (check cgr_last_error()).
 void* cgr_graph_new(const char* smiles, int is_rxn) {
   try {

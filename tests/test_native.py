@@ -68,3 +68,38 @@ def test_speedup():
     t_py = time.perf_counter() - t0
     # native must be decisively faster (typically >10x)
     assert t_native < t_py / 3, (t_native, t_py)
+
+
+def test_packer_parity():
+    from cgr_mpnn_3d_tpu.data import pack_graphs, plan_spec
+    graphs = [RxnGraph(s).arrays for s in CORPUS_RXN]
+    labels = [float(i) for i in range(len(graphs))]
+    spec = plan_spec(graphs, te=64, tn=32, tb=8).with_packs(8)
+    a = pack_graphs(graphs, labels, spec)
+    b = native.pack_graphs_native(graphs, labels, spec)
+    for name, x, y in zip(a._fields, a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=name)
+
+
+def test_packer_parity_with_extra_and_rows():
+    from cgr_mpnn_3d_tpu.data import pack_graphs, plan_spec
+    graphs = [RxnGraph(s).arrays for s in CORPUS_RXN[:6]]
+    labels = [float(i) for i in range(6)]
+    rows = [10, 3, 7, 1, 99, 42]
+    rng = np.random.default_rng(0)
+    extra = [rng.random((g.num_nodes, 5)).astype(np.float32) for g in graphs]
+    spec = plan_spec(graphs, te=64, tn=32, tb=4).with_packs(2)
+    a = pack_graphs(graphs, labels, spec, extra, row_ids=rows)
+    b = native.pack_graphs_native(graphs, labels, spec, extra, row_ids=rows)
+    for name, x, y in zip(a._fields, a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=name)
+
+
+def test_packer_error():
+    from cgr_mpnn_3d_tpu.data import plan_spec
+    graphs = [RxnGraph(CORPUS_RXN[0]).arrays]
+    spec = plan_spec(graphs, te=4, tn=2, tb=1).with_packs(1)
+    with pytest.raises(ValueError, match="exceeds pack tile"):
+        native.pack_graphs_native(graphs, [0.0], spec)
