@@ -110,8 +110,22 @@ class ChemDataset:
     def num_edge_features(self) -> int:
         return self.graph(0).edge_feats.shape[1]
 
-    def prefeaturize(self) -> None:
-        """Eagerly featurize every row (fills the cache)."""
+    def prefeaturize(self, num_workers: int = 0) -> None:
+        """Eagerly featurize every row (fills the cache).
+
+        With ``num_workers`` > 0 and the native featurizer available, rows
+        are featurized in a thread pool — the C++ calls release the GIL, so
+        this scales nearly linearly (the reference uses DataLoader worker
+        processes for the same job, trainer.py:99)."""
+        if num_workers and self.use_native:
+            from concurrent.futures import ThreadPoolExecutor
+            from .. import native
+            unique = list({s: None for s in self.smiles})
+            with ThreadPoolExecutor(num_workers) as ex:
+                for smi, g in zip(unique, ex.map(
+                        lambda s: native.featurize(s, self.mode), unique)):
+                    self._cache[smi] = g
+            return
         for i in range(len(self)):
             self.graph(i)
 
