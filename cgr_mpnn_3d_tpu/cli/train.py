@@ -55,6 +55,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--pack_tn", default=128, type=int)
     ap.add_argument("--pack_tb", default=16, type=int)
     ap.add_argument("--skip_test", action="store_true")
+    ap.add_argument("--num_workers", default=None, type=int,
+                    help="featurization threads (reference trainer.py:99 "
+                         "default: half the CPUs)")
     return ap
 
 
@@ -115,9 +118,12 @@ def train(args) -> dict:
     )
     cfg = maybe_enable_pallas(cfg)  # TPU: one-hot SpMM kernels
 
-    print("Featurizing training set...")
-    train_data.prefeaturize()
-    val_data.prefeaturize()
+    import os as _os
+    workers = args.num_workers if args.num_workers is not None \
+        else max(1, (_os.cpu_count() or 2) // 2)
+    print(f"Featurizing training set ({workers} workers)...")
+    train_data.prefeaturize(num_workers=workers)
+    val_data.prefeaturize(num_workers=workers)
     graphs = [train_data.graph(i) for i in range(len(train_data))]
     spec = plan_spec(graphs, te=args.pack_te, tn=args.pack_tn,
                      tb=args.pack_tb)
