@@ -66,10 +66,12 @@ def main() -> None:
     nf = 78 + args.mace_dim
     rng = np.random.default_rng(0)
     graphs = synthetic_graphs(args.graphs, rng, node_feat_dim=nf)
+    # first-fit-decreasing: big graphs first -> higher fill, fewer packs
+    graphs.sort(key=lambda g: -g.num_edges)
     n_edges_real = sum(g.num_edges for g in graphs)
     spec = plan_spec(graphs, te=args.te, tn=args.tn, tb=args.tb)
     from cgr_mpnn_3d_tpu.data.batch import packs_needed
-    spec = spec.with_packs(packs_needed(graphs, spec, fill_target=0.92))
+    spec = spec.with_packs(packs_needed(graphs, spec, fill_target=0.97))
     batch = pack_graphs(graphs, [0.0] * len(graphs), spec)
     print(f"batch: {n_edges_real} real edges, {spec.p} packs "
           f"({spec.total_edges} slots, fill "

@@ -38,6 +38,9 @@ class PackedLoader:
     seed: int = 0
     drop_last: bool = False
     use_native: bool | None = None   # None = auto (C++ packer if built)
+    # place big graphs first within each window (first-fit-decreasing):
+    # measurably better pack fill; row_ids keep outputs row-addressable
+    sort_within_batch: bool = True
 
     def __post_init__(self):
         packs = max(1, int(np.ceil(self.batch_size / self.spec.tb)))
@@ -67,6 +70,9 @@ class PackedLoader:
         n = len(rows)
         while n > 0:
             window = rows[:n]
+            if self.sort_within_batch:
+                window = sorted(
+                    window, key=lambda i: -self.dataset.graph(i).num_edges)
             graphs = [self.dataset.graph(i) for i in window]
             labels = [self.dataset.labels[i] for i in window]
             extra = ([self.dataset.extra_feats(i) for i in window]
