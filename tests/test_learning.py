@@ -84,3 +84,48 @@ def test_model_learns_bond_breaking(tmp_path):
     best_val = min(out["val_losses"])
     # must beat predicting-the-mean by a wide margin
     assert best_val < 0.35 * label_std, (best_val, label_std)
+
+
+@pytest.mark.slow
+def test_3d_descriptor_fusion_helps(tmp_path):
+    """Labels depend on a per-atom descriptor sum that is invisible to the
+    2D CGR features; the CGR-MPNN-3D model (npz fusion) must fit it, the
+    2D-only model must not."""
+    rng = np.random.default_rng(0)
+    rows, descs = [], []
+    for _ in range(192):
+        n = int(rng.integers(5, 11))
+        smi = _chain_smiles(n, set())
+        d = rng.standard_normal((n, 6)).astype(np.float32)
+        label = float(2.0 * d[:, 0].sum())      # only visible in descriptors
+        rows.append((smi, label))
+        descs.append(d)
+    csv = tmp_path / "t.csv"
+    with open(csv, "w") as f:
+        f.write("smiles,ea\n")
+        for s, y in rows:
+            f.write(f"{s},{y}\n")
+    npz = tmp_path / "t.npz"
+    np.savez(str(npz), *descs)
+
+    def run(with_npz: bool) -> float:
+        ds = ChemDataset(str(csv),
+                         data_npz_path=str(npz) if with_npz else None)
+        ds.prefeaturize()
+        graphs = [ds.graph(i) for i in range(len(ds))]
+        spec = plan_spec(graphs, te=128, tn=64, tb=8)
+        cfg = CGRMPNNConfig(num_node_features=ds.num_node_features,
+                            num_edge_features=14, depth=2,
+                            hidden_sizes=(32, 32), dropout_ps=(0.0, 0.0))
+        tr = RxnGraphTrainer(
+            name=f"fuse{with_npz}", cfg=cfg, train_data=ds, val_data=ds,
+            spec=spec, lr=3e-3, num_epochs=20, batch_size=32,
+            val_frequency=5, model_save_dir=str(tmp_path / "m"), seed=0)
+        out = tr.train()
+        return min(out["val_losses"])
+
+    rmse_3d = run(True)
+    rmse_2d = run(False)
+    label_std = np.asarray([y for _, y in rows]).std()
+    assert rmse_3d < 0.4 * label_std, (rmse_3d, label_std)
+    assert rmse_3d < 0.5 * rmse_2d, (rmse_3d, rmse_2d)
