@@ -122,8 +122,8 @@ def train(args) -> dict:
     workers = args.num_workers if args.num_workers is not None \
         else max(1, (_os.cpu_count() or 2) // 2)
     print(f"Featurizing training set ({workers} workers)...")
-    train_data.prefeaturize(num_workers=workers)
-    val_data.prefeaturize(num_workers=workers)
+    train_data.prefeaturize(num_workers=workers, cache=True)
+    val_data.prefeaturize(num_workers=workers, cache=True)
     graphs = [train_data.graph(i) for i in range(len(train_data))]
     spec = plan_spec(graphs, te=args.pack_te, tn=args.pack_tn,
                      tb=args.pack_tb)

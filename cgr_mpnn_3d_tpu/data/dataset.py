@@ -110,13 +110,71 @@ class ChemDataset:
     def num_edge_features(self) -> int:
         return self.graph(0).edge_feats.shape[1]
 
-    def prefeaturize(self, num_workers: int = 0) -> None:
+    # bump when featurization semantics change (invalidates disk caches)
+    FEAT_VERSION = 1
+
+    def _cache_path(self) -> Path:
+        return self.data_path.with_suffix(self.data_path.suffix
+                                          + ".featcache.npz")
+
+    def save_feature_cache(self) -> Path:
+        """Persist the featurized graphs next to the CSV so later runs skip
+        SMILES parsing entirely (the reference re-featurizes every run)."""
+        smis = list(self._cache.keys())
+        gs = [self._cache[s] for s in smis]
+        payload = {
+            "smiles": np.asarray(smis, dtype=object),
+            "version": np.asarray([self.FEAT_VERSION]),
+            "node_feats": np.concatenate([g.node_feats for g in gs], 0),
+            "edge_feats": np.concatenate([g.edge_feats for g in gs], 0),
+            "senders": np.concatenate([g.senders for g in gs]),
+            "receivers": np.concatenate([g.receivers for g in gs]),
+            "n_nodes": np.asarray([g.num_nodes for g in gs], np.int64),
+            "n_edges": np.asarray([g.num_edges for g in gs], np.int64),
+        }
+        path = self._cache_path()
+        np.savez_compressed(path, **payload, allow_pickle=True)
+        return path
+
+    def load_feature_cache(self) -> bool:
+        """Load a previously saved cache; False if absent/stale."""
+        path = self._cache_path()
+        if not path.exists() or path.stat().st_mtime < \
+                self.data_path.stat().st_mtime:
+            return False
+        try:
+            with np.load(path, allow_pickle=True) as z:
+                if int(z["version"][0]) != self.FEAT_VERSION:
+                    return False
+                smis = list(z["smiles"])
+                n_off = np.concatenate([[0], np.cumsum(z["n_nodes"])])
+                e_off = np.concatenate([[0], np.cumsum(z["n_edges"])])
+                for i, smi in enumerate(smis):
+                    ns, ne = slice(n_off[i], n_off[i + 1]), \
+                        slice(e_off[i], e_off[i + 1])
+                    e_cnt = int(z["n_edges"][i])
+                    self._cache[str(smi)] = GraphArrays(
+                        node_feats=z["node_feats"][ns].copy(),
+                        edge_feats=z["edge_feats"][ne].copy(),
+                        senders=z["senders"][ne].copy(),
+                        receivers=z["receivers"][ne].copy(),
+                        rev_edge_index=(np.arange(e_cnt, dtype=np.int32)
+                                        ^ 1) if e_cnt else
+                        np.zeros((0,), np.int32))
+        except Exception:
+            return False
+        return set(self.smiles) <= set(self._cache)
+
+    def prefeaturize(self, num_workers: int = 0, cache: bool = False) -> None:
         """Eagerly featurize every row (fills the cache).
 
         With ``num_workers`` > 0 and the native featurizer available, rows
         are featurized in a thread pool — the C++ calls release the GIL, so
         this scales nearly linearly (the reference uses DataLoader worker
-        processes for the same job, trainer.py:99)."""
+        processes for the same job, trainer.py:99).  With ``cache``, a disk
+        cache next to the CSV is loaded/saved."""
+        if cache and self.load_feature_cache():
+            return
         if num_workers and self.use_native:
             from concurrent.futures import ThreadPoolExecutor
             from .. import native
@@ -125,9 +183,13 @@ class ChemDataset:
                 for smi, g in zip(unique, ex.map(
                         lambda s: native.featurize(s, self.mode), unique)):
                     self._cache[smi] = g
+            if cache:
+                self.save_feature_cache()
             return
         for i in range(len(self)):
             self.graph(i)
+        if cache:
+            self.save_feature_cache()
 
 
 def _is_float(s: str) -> bool:

@@ -276,3 +276,26 @@ class TestDropLast:
                                     drop_last=True))
         assert len(full) == 2 and len(dropped) == 1
         assert int(dropped[0].graph_mask.sum()) == 2
+
+
+class TestFeatureCache:
+    def test_roundtrip_and_staleness(self, csv_path):
+        import time as _time
+        ds = ChemDataset(csv_path)
+        ds.prefeaturize(cache=True)
+        cache_path = ds._cache_path()
+        assert cache_path.exists()
+        # fresh dataset loads from cache (bit-identical graphs)
+        ds2 = ChemDataset(csv_path)
+        assert ds2.load_feature_cache()
+        for i in range(len(ds)):
+            np.testing.assert_array_equal(ds.graph(i).node_feats,
+                                          ds2.graph(i).node_feats)
+            np.testing.assert_array_equal(ds.graph(i).senders,
+                                          ds2.graph(i).senders)
+        # touching the csv invalidates the cache
+        _time.sleep(0.01)
+        import os
+        os.utime(csv_path)
+        ds3 = ChemDataset(csv_path)
+        assert not ds3.load_feature_cache()
