@@ -244,3 +244,61 @@ class TestGraphs:
         g1 = RxnGraph("CCO>C>CCO")
         g2 = RxnGraph("CCO>>CCO")
         np.testing.assert_array_equal(g1.arrays.node_feats, g2.arrays.node_feats)
+
+
+class TestParserRobustness:
+    """Fuzz: mutated SMILES must either parse or raise SmilesError /
+    KekulizeError — never crash, hang, or corrupt state."""
+
+    def test_mutation_fuzz(self):
+        import random
+        from cgr_mpnn_3d_tpu.chem.mol import KekulizeError
+        rng = random.Random(0)
+        seeds = [DEMO_RXN.split(">")[0], "c1ccccc1", "CC(=O)OC",
+                 "[N+:1]([O-:2])=[O:3]", "C%10CCCCC%10", "ClCCBr"]
+        alphabet = "CNOcn()[]=#123+-:@H%.>\\/"
+        checked = 0
+        for base in seeds:
+            for _ in range(300):
+                s = list(base)
+                for _ in range(rng.randint(1, 4)):
+                    op = rng.random()
+                    i = rng.randrange(len(s) + 1)
+                    if op < 0.4 and s:
+                        del s[min(i, len(s) - 1)]
+                    elif op < 0.8:
+                        s.insert(i, rng.choice(alphabet))
+                    elif s:
+                        s[min(i, len(s) - 1)] = rng.choice(alphabet)
+                mutated = "".join(s)
+                try:
+                    parse_smiles(mutated)
+                    mol_from_smiles(mutated)
+                except (SmilesError, KekulizeError, KeyError):
+                    pass
+                checked += 1
+        assert checked == len(seeds) * 300
+
+    def test_native_fuzz_agrees_on_validity(self):
+        """Native parser accepts/rejects the same strings (spot sample)."""
+        from cgr_mpnn_3d_tpu import native
+        if not native.available():
+            pytest.skip("native unavailable")
+        import random
+        from cgr_mpnn_3d_tpu.chem.mol import KekulizeError
+        rng = random.Random(1)
+        alphabet = "CNOcn()[]=#12+-H"
+        for _ in range(400):
+            s = "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(1, 12)))
+            try:
+                MolGraph(s)
+                py_ok = True
+            except (SmilesError, KekulizeError, KeyError):
+                py_ok = False
+            try:
+                native.featurize(s, "mol")
+                nat_ok = True
+            except native.NativeError:
+                nat_ok = False
+            assert py_ok == nat_ok, s
