@@ -21,8 +21,10 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding
 
-from ..data.batch import PackedGraphBatch
-from ..models.cgr_mpnn import CGRMPNNConfig, apply
+from ..data.batch import PackedGraphBatch, PackSpec
+from ..models.cgr_mpnn import (CGRMPNNConfig, apply,
+                               fused_train_value_and_grad,
+                               supports_fused_train)
 from ..train.trainer import TrainState
 from .mesh import P
 
@@ -44,13 +46,17 @@ def shard_stacked_batch(stacked: PackedGraphBatch, mesh: Mesh
 
 
 def make_dp_train_step(optimizer: optax.GradientTransformation,
-                       cfg: CGRMPNNConfig, mesh: Mesh):
+                       cfg: CGRMPNNConfig, mesh: Mesh,
+                       spec: PackSpec | None = None):
     """Returns jitted ``step(state, stacked_batch) -> (state, sum_loss)``.
 
     ``stacked_batch`` leaves have leading axis n_dp*n_ep (both mesh axes are
     used as flat data parallelism here; use edge_partition for genuine ep).
+    With ``spec`` and a Pallas-capable config, each device runs the
+    one-kernel training step (ops/pallas_model.fused_model_train).
     """
     axes = ("dp", "ep")
+    use_fused = spec is not None and supports_fused_train(cfg)
 
     def per_device(state: TrainState, batch: PackedGraphBatch):
         batch = jax.tree_util.tree_map(lambda x: x[0], batch)  # unstack
@@ -60,11 +66,15 @@ def make_dp_train_step(optimizer: optax.GradientTransformation,
         rng_next, sub = jax.random.split(rng)
 
         def loss_fn(params):
-            preds = apply(params, batch, cfg, train=True, rng=sub)
+            preds = apply(params, batch, cfg, spec, train=True, rng=sub)
             err = (preds - batch.labels) * batch.graph_mask
             return jnp.sum(err * err)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        if use_fused:
+            loss, grads = fused_train_value_and_grad(state.params, batch,
+                                                     cfg, spec, sub)
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
         loss = jax.lax.psum(loss, axes)
         grads = jax.lax.psum(grads, axes)
         updates, opt_state = optimizer.update(grads, state.opt_state,
@@ -84,10 +94,11 @@ def make_dp_train_step(optimizer: optax.GradientTransformation,
     return jax.jit(smapped, donate_argnums=(0,))
 
 
-def make_dp_eval_step(cfg: CGRMPNNConfig, mesh: Mesh):
+def make_dp_eval_step(cfg: CGRMPNNConfig, mesh: Mesh,
+                      spec: PackSpec | None = None):
     def per_device(params, batch: PackedGraphBatch):
         batch = jax.tree_util.tree_map(lambda x: x[0], batch)
-        preds = apply(params, batch, cfg, train=False)
+        preds = apply(params, batch, cfg, spec, train=False)
         err = (preds - batch.labels) * batch.graph_mask
         return jax.lax.psum(jnp.sum(err * err), ("dp", "ep"))
 

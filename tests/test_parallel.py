@@ -146,3 +146,31 @@ class TestEdgePartition:
                         jax.tree_util.tree_leaves(params_ref)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-6)
+
+
+class TestDataParallelFused:
+    def test_dp_fused_kernel_matches_single_device(self, graphs, cfg):
+        """DP step with the one-kernel Pallas path (interpret mode) must
+        match single-device training exactly."""
+        from dataclasses import replace
+        cfg_p = replace(cfg, use_pallas=True, pallas_interpret=True)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        loss_ref, params_ref, _ = _single_device_update(graphs, cfg, params)
+
+        mesh = make_mesh(n_dp=4, n_ep=1, devices=jax.devices()[:4])
+        spec = plan_spec(graphs, te=64, tn=32, tb=2).with_packs(1)
+        subbatches = [pack_graphs(graphs[2 * i:2 * i + 2],
+                                  LABELS[2 * i:2 * i + 2], spec)
+                      for i in range(4)]
+        stacked = stack_batches(subbatches)
+
+        opt = make_optimizer(1e-3, 0.0, 1.0, 1)
+        step = make_dp_train_step(opt, cfg_p, mesh, spec=spec)
+        state = TrainState(params, opt.init(params),
+                           jnp.zeros((), jnp.int32), jax.random.PRNGKey(1))
+        new_state, loss = step(state, stacked)
+        np.testing.assert_allclose(float(loss), loss_ref, rtol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(new_state.params),
+                        jax.tree_util.tree_leaves(params_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5)
