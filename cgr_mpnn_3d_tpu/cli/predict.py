@@ -42,6 +42,12 @@ def activation_energy_prediction(
 
     pred_data = ChemDataset(str(data_path_smiles), data_npz_path=npz_path)
     params, cfg, _ = load_model(model_path)
+    if pred_data.num_node_features != cfg.num_node_features:
+        raise ValueError(
+            f"model expects {cfg.num_node_features} node features but the "
+            f"input provides {pred_data.num_node_features} — a CGR-MPNN-3D "
+            "model needs matching MACE descriptors (--data_path_npz / "
+            "--data_path_coordinates)")
     pred_data.prefeaturize()
     graphs = [pred_data.graph(i) for i in range(len(pred_data))]
     spec = plan_spec(graphs)

@@ -240,3 +240,90 @@ class TestGradients:
         p_train = apply(params, batch, cfg, train=True,
                         rng=jax.random.PRNGKey(7))
         assert not np.allclose(np.asarray(p_eval), np.asarray(p_train))
+
+
+class TestMoreConfigs:
+    def test_mean_aggr_grads_match_autodiff(self, setup):
+        graphs, labels, spec, batch, _, _ = setup
+        cfg = CGRMPNNConfig(num_node_features=78, num_edge_features=14,
+                            depth=2, hidden_sizes=(16, 16),
+                            dropout_ps=(0.0, 0.0), aggr="mean")
+        params = init_params(jax.random.PRNGKey(4), cfg)
+        y = jnp.asarray(batch.labels)
+        m = jnp.asarray(batch.graph_mask)
+
+        def loss_custom(p):
+            pred = apply(p, batch, cfg)
+            return jnp.sum(m * (pred - y) ** 2)
+
+        # oracle: same math via plain jnp (autodiff scatters in bwd)
+        ET = batch.senders.shape[0]
+
+        def ext(h):
+            return jnp.concatenate([h, jnp.zeros((1, h.shape[1]),
+                                                 h.dtype)], 0)
+
+        in_deg = (jnp.asarray(batch.node_inc) < ET).sum(1).astype(jnp.float32)
+        inv = jnp.where(in_deg > 0, 1.0 / jnp.maximum(in_deg, 1.0), 0.0)
+        norm = jnp.take(jnp.concatenate([inv, jnp.zeros(1)]),
+                        jnp.asarray(batch.senders), mode="clip")
+
+        def loss_naive(p):
+            act = jax.nn.relu
+            lin = lambda q, v: v @ q["w"] + q["b"]
+            x, e = jnp.asarray(batch.node_x), jnp.asarray(batch.edge_attr)
+            xs = jnp.take(ext(x), batch.senders, axis=0, mode="clip")
+            h0 = act(lin(p["edge_init"], jnp.concatenate([xs, e], 1)))
+            h = h0
+            for l in range(cfg.depth):
+                he = ext(h)
+                t = (jnp.take(he, batch.edge_nbr, axis=0, mode="clip").sum(1)
+                     * norm[:, None]
+                     - jnp.take(he, batch.rev, axis=0, mode="clip"))
+                h = act(lin(p["convs"][l], t) + h0)
+            s = jnp.take(ext(h), batch.node_inc, axis=0, mode="clip").sum(1)
+            s = s * inv[:, None]
+            hn = act(lin(p["edge_to_node"], jnp.concatenate([x, s], 1)))
+            pool = jnp.take(ext(hn), batch.graph_nodes, axis=0,
+                            mode="clip").sum(1)
+            pred = lin(p["ffn"], pool)[:, 0]
+            return jnp.sum(m * (pred - y) ** 2)
+
+        l1, g1 = jax.value_and_grad(loss_custom)(params)
+        l2, g2 = jax.value_and_grad(loss_naive)(params)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-4)
+
+    def test_gelu_parity(self, setup):
+        graphs, labels, spec, batch, _, _ = setup
+        cfg = CGRMPNNConfig(num_node_features=78, num_edge_features=14,
+                            depth=2, hidden_sizes=(16, 16),
+                            dropout_ps=(0.0, 0.0), activation="GELU")
+        params = init_params(jax.random.PRNGKey(5), cfg)
+        preds = np.asarray(apply(params, batch, cfg))
+        assert np.isfinite(
+            preds[np.asarray(batch.graph_mask) > 0]).all()
+        # exact-erf GELU (torch default), not the tanh approximation
+        from cgr_mpnn_3d_tpu.models import ACTIVATIONS
+        x = jnp.linspace(-3, 3, 7)
+        expect = x * 0.5 * (1 + jax.scipy.special.erf(x / np.sqrt(2)))
+        np.testing.assert_allclose(np.asarray(ACTIVATIONS["GELU"](x)),
+                                   np.asarray(expect), rtol=1e-5)
+
+
+class TestCheckpointMismatch:
+    def test_wrong_shape_rejected(self, setup, tmp_path):
+        from cgr_mpnn_3d_tpu.train import (load_checkpoint, restore_into,
+                                           save_checkpoint)
+        graphs, labels, spec, batch, cfg, params = setup
+        save_checkpoint(tmp_path / "c.npz", params, {"model": {}})
+        leaves, _ = load_checkpoint(tmp_path / "c.npz")
+        other = CGRMPNNConfig(num_node_features=78, num_edge_features=14,
+                              depth=3, hidden_sizes=(64, 64, 64),
+                              dropout_ps=(0.0,) * 3)
+        template = init_params(jax.random.PRNGKey(0), other)
+        with pytest.raises(ValueError):
+            restore_into(template, leaves)
