@@ -174,3 +174,44 @@ class TestDataParallelFused:
                         jax.tree_util.tree_leaves(params_ref)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-3, atol=1e-5)
+
+
+class TestGiantGraph:
+    def test_ep_handles_graph_larger_than_any_tile(self):
+        """The edge-partition axis exists so one batched graph can exceed a
+        single device's tile: a 480-atom chain (958 directed edges) sharded
+        over 8 'ep' devices must match the single-device packed model."""
+        from cgr_mpnn_3d_tpu.data.synthetic import synthetic_graphs
+        rng = np.random.default_rng(0)
+        g = synthetic_graphs(1, rng, min_atoms=480, max_atoms=480,
+                             max_degree=3)[0]
+        cfg = CGRMPNNConfig(num_node_features=78, num_edge_features=14,
+                            depth=2, hidden_sizes=(16, 16),
+                            dropout_ps=(0.0, 0.0))
+        params = init_params(jax.random.PRNGKey(0), cfg)
+
+        # single-device reference needs a tile big enough for the graph
+        spec = plan_spec([g], te=1024, tn=512, tb=2).with_packs(1)
+        batch = pack_graphs([g], [1.0], spec)
+        ref = np.asarray(apply(params, batch, cfg))[
+            np.asarray(batch.graph_mask) > 0][0]
+
+        mesh = make_mesh(n_dp=1, n_ep=8, devices=jax.devices())
+        eb = shard_edges([g], [1.0], n_ep=8, d=8)
+        # each shard holds only ~1/8 of the edges
+        assert eb.edge_attr.shape[1] < g.num_edges // 4
+
+        from jax.sharding import PartitionSpec as P
+        bspec = jax.tree_util.tree_map(lambda _: P("ep"),
+                                       EdgeShardedBatch(*[0] * 11))
+
+        def fwd(b):
+            local = jax.tree_util.tree_map(lambda v: v[0], b)
+            _, preds = ep_forward(params, local, cfg, axis="ep")
+            return preds
+
+        preds = np.asarray(jax.jit(jax.shard_map(
+            fwd, mesh=mesh, in_specs=(bspec,), out_specs=P("ep"),
+            check_vma=False))(eb)).reshape(8, -1)
+        got = preds[0][np.asarray(eb.graph_mask[0]) > 0][0]
+        np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
