@@ -40,7 +40,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from .periodic import (DEFAULT_VALENCES, atomic_weight, valence_electrons)
-from .smiles import ParsedSmiles, RawAtom, RawBond, SmilesError, parse_smiles
+from .smiles import ParsedSmiles, RawAtom, RawBond, parse_smiles
 
 __all__ = ["Molecule", "Atom", "Bond", "mol_from_smiles", "KekulizeError",
            "HYB_SP", "HYB_SP2", "HYB_SP3", "HYB_SP3D", "HYB_SP3D2", "HYB_OTHER"]

@@ -68,7 +68,6 @@ def main(argv=None) -> None:
     from ..data.synthetic import synthetic_graphs
     from ..ops.dispatch import SpmmMeta, build_model_indices, spmm_t
     from ..ops.pallas_fused import FusedConvSpec, fused_conv_layer
-    from ..ops.pallas_ops import build_idx_t
     from ..ops.segment import dmpnn_messages
 
     H = args.hidden

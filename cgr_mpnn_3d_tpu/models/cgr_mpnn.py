@@ -21,7 +21,7 @@ weight and bias) so training dynamics match the reference.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass
 from typing import Any
 
 import jax
