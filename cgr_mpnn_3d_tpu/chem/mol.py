@@ -163,6 +163,117 @@ def _ring_bonds(n_atoms: int, bonds: list[RawBond],
     return [not br for br in is_bridge]
 
 
+def _small_rings(n_atoms: int, bonds: list[RawBond], adj: list[list[int]],
+                 in_ring: list[bool], max_size: int = 7) -> list[list[int]]:
+    """Small rings as bond-index lists: for every ring bond, the shortest
+    cycle through it (BFS on the graph minus that bond) — an SSSR-style
+    approximation sufficient for chemistry-sized rings."""
+    from collections import deque
+    rings: list[list[int]] = []
+    seen: set[frozenset[int]] = set()
+    for bi, b in enumerate(bonds):
+        if not in_ring[bi]:
+            continue
+        # BFS from a1 to a2 avoiding bond bi
+        prev_bond = {b.a1: -1}
+        dq = deque([b.a1])
+        while dq and b.a2 not in prev_bond:
+            u = dq.popleft()
+            for bj in adj[u]:
+                if bj == bi:
+                    continue
+                w = bonds[bj].a2 if bonds[bj].a1 == u else bonds[bj].a1
+                if w not in prev_bond:
+                    prev_bond[w] = bj
+                    dq.append(w)
+        if b.a2 not in prev_bond:
+            continue
+        path = [bi]
+        cur = b.a2
+        while cur != b.a1:
+            bj = prev_bond[cur]
+            path.append(bj)
+            cur = bonds[bj].a1 + bonds[bj].a2 - cur
+        if len(path) <= max_size:
+            key = frozenset(path)
+            if key not in seen:
+                seen.add(key)
+                rings.append(path)
+    return rings
+
+
+def _perceive_aromatic_rings(parsed: ParsedSmiles, adj: list[list[int]],
+                             in_ring: list[bool],
+                             orders: list[int]) -> set[int]:
+    """Hueckel-style aromaticity perception for *kekulized* input (RDKit
+    perceives aromaticity regardless of how the SMILES is written; lowercase
+    input skips this).  Marks perceived atoms aromatic in-place and returns
+    the perceived aromatic bond indices.
+
+    Per-atom pi contributions: in-ring double bond -> 1; exocyclic double
+    (quinone C=O) -> 0; lone-pair heteroatom (N/O/S pyrrole-type) -> 2;
+    C+ -> 0; C- -> 2; sp3 carbon -> ring not aromatic.  A ring with 4k+2
+    electrons becomes aromatic; already-aromatic atoms contribute 1, and
+    rings are re-examined to a fixpoint (fused systems)."""
+    bonds = parsed.bonds
+    rings = _small_rings(len(parsed.atoms), bonds, adj, in_ring)
+    if not rings:
+        return set()
+
+    has_ring_double = [False] * len(parsed.atoms)
+    has_exo_double = [False] * len(parsed.atoms)
+    for bi, b in enumerate(bonds):
+        if orders[bi] >= 2:
+            if in_ring[bi]:
+                has_ring_double[b.a1] = has_ring_double[b.a2] = True
+            else:
+                has_exo_double[b.a1] = has_exo_double[b.a2] = True
+
+    arom_bonds: set[int] = set()
+    changed = True
+    while changed:
+        changed = False
+        for ring in rings:
+            if all(bi in arom_bonds for bi in ring):
+                continue
+            ring_atoms: list[int] = []
+            for bi in ring:
+                for a in (bonds[bi].a1, bonds[bi].a2):
+                    if a not in ring_atoms:
+                        ring_atoms.append(a)
+            pi = 0
+            ok = True
+            for a in ring_atoms:
+                atom = parsed.atoms[a]
+                if atom.aromatic:
+                    pi += 1
+                elif has_ring_double[a]:
+                    pi += 1
+                elif has_exo_double[a]:
+                    pi += 0
+                elif atom.symbol == "C":
+                    if atom.charge == 1:
+                        pi += 0
+                    elif atom.charge == -1:
+                        pi += 2
+                    else:
+                        ok = False   # sp3 carbon breaks the ring
+                        break
+                elif atom.symbol in ("N", "O", "S", "P", "Se", "Te"):
+                    pi += 2          # lone pair in the pi system
+                else:
+                    ok = False
+                    break
+            if ok and pi % 4 == 2:
+                for a in ring_atoms:
+                    parsed.atoms[a].aromatic = True
+                for bi in ring:
+                    if bi not in arom_bonds:
+                        arom_bonds.add(bi)
+                        changed = True
+    return arom_bonds
+
+
 def _needs_double(atom: RawAtom, conn: int, has_exo_multiple: bool) -> bool:
     """Does this aromatic atom need one double bond in the kekulized form?
 
@@ -187,17 +298,22 @@ def _needs_double(atom: RawAtom, conn: int, has_exo_multiple: bool) -> bool:
 
 
 def _kekulize(parsed: ParsedSmiles, bond_aromatic: list[bool],
-              adj: list[list[int]], est_conn: list[int]) -> list[int]:
+              adj: list[list[int]], est_conn: list[int],
+              arom_flags: list[bool] | None = None) -> list[int]:
     """Assign integer orders to aromatic bonds via backtracking matching.
 
     Returns the per-bond integer order list (non-aromatic bonds keep their
-    written order).
+    written order).  ``arom_flags`` restricts matching to the lowercase-
+    written aromatic atoms (perceived-aromatic rings keep their written
+    kekulized orders and must not be re-matched).
     """
     order_map = {"single": 1, "double": 2, "triple": 3, "quadruple": 4,
                  "aromatic": 1, "unspecified": 1}
     orders = [order_map[b.symbol] for b in parsed.bonds]
 
-    arom_atoms = [i for i, a in enumerate(parsed.atoms) if a.aromatic]
+    if arom_flags is None:
+        arom_flags = [a.aromatic for a in parsed.atoms]
+    arom_atoms = [i for i, f in enumerate(arom_flags) if f]
     if not arom_atoms:
         return orders
 
@@ -327,6 +443,8 @@ def mol_from_smiles(smiles: str) -> Molecule:
         adj[b.a2].append(bi)
 
     in_ring = _ring_bonds(n, parsed.bonds, adj)
+    # lowercase-written aromatic flags (before perception mutates them)
+    written_arom = [a.aromatic for a in parsed.atoms]
 
     # Bond aromaticity: written ':' bonds, or unspecified bonds between two
     # aromatic atoms *inside a ring* (biphenyl's linker bond stays single).
@@ -352,7 +470,16 @@ def mol_from_smiles(smiles: str) -> Molecule:
             conn += 1  # aromatic ring carbon with implicit H
         est_conn.append(conn)
 
-    orders = _kekulize(parsed, bond_aromatic, adj, est_conn)
+    orders = _kekulize(parsed, bond_aromatic, adj, est_conn,
+                       arom_flags=written_arom)
+
+    # Aromaticity perception for kekulized input (RDKit perceives regardless
+    # of how the ring was written); perceived rings keep their written
+    # integer orders — only the aromatic flags change.
+    perceived = _perceive_aromatic_rings(parsed, adj, in_ring, orders)
+    if perceived:
+        bond_aromatic = [ba or (bi in perceived)
+                         for bi, ba in enumerate(bond_aromatic)]
 
     mol = Molecule()
     mol.adj = adj

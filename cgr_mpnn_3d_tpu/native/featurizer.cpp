@@ -16,6 +16,7 @@
 #include <cstdint>
 #include <cstring>
 #include <map>
+#include <set>
 #include <memory>
 #include <optional>
 #include <stdexcept>
@@ -388,6 +389,125 @@ std::vector<bool> ring_bonds(int n, const std::vector<RawBond>& bonds,
   return in_ring;
 }
 
+// Small rings as bond-index lists: shortest cycle through each ring bond
+// (BFS avoiding that bond) — mirrors chem/mol.py::_small_rings.
+std::vector<std::vector<int>> small_rings(
+    int n_atoms, const std::vector<RawBond>& bonds,
+    const std::vector<std::vector<int>>& adj,
+    const std::vector<bool>& in_ring, int max_size = 7) {
+  std::vector<std::vector<int>> rings;
+  std::set<std::set<int>> seen;
+  for (size_t bi = 0; bi < bonds.size(); ++bi) {
+    if (!in_ring[bi]) continue;
+    const RawBond& b = bonds[bi];
+    std::vector<int> prev_bond(n_atoms, -2);  // -2 unvisited, -1 root
+    std::vector<int> queue{b.a1};
+    prev_bond[b.a1] = -1;
+    size_t head = 0;
+    while (head < queue.size() && prev_bond[b.a2] == -2) {
+      int u = queue[head++];
+      for (int bj : adj[u]) {
+        if (bj == static_cast<int>(bi)) continue;
+        int w = bonds[bj].a1 + bonds[bj].a2 - u;
+        if (prev_bond[w] == -2) {
+          prev_bond[w] = bj;
+          queue.push_back(w);
+        }
+      }
+    }
+    if (prev_bond[b.a2] == -2) continue;
+    std::vector<int> path{static_cast<int>(bi)};
+    int cur = b.a2;
+    while (cur != b.a1) {
+      int bj = prev_bond[cur];
+      path.push_back(bj);
+      cur = bonds[bj].a1 + bonds[bj].a2 - cur;
+    }
+    if (static_cast<int>(path.size()) <= max_size) {
+      std::set<int> key(path.begin(), path.end());
+      if (seen.insert(key).second) rings.push_back(path);
+    }
+  }
+  return rings;
+}
+
+// Hueckel-style perception for kekulized input; mirrors
+// chem/mol.py::_perceive_aromatic_rings (marks atoms aromatic in-place,
+// returns perceived aromatic bond indices).
+std::set<int> perceive_aromatic(Parsed& parsed,
+                                const std::vector<std::vector<int>>& adj,
+                                const std::vector<bool>& in_ring,
+                                const std::vector<int>& orders) {
+  std::set<int> arom_bonds;
+  auto rings = small_rings(static_cast<int>(parsed.atoms.size()),
+                           parsed.bonds, adj, in_ring);
+  if (rings.empty()) return arom_bonds;
+
+  int n = static_cast<int>(parsed.atoms.size());
+  std::vector<bool> ring_dbl(n, false), exo_dbl(n, false);
+  for (size_t bi = 0; bi < parsed.bonds.size(); ++bi) {
+    if (orders[bi] >= 2) {
+      auto& b = parsed.bonds[bi];
+      if (in_ring[bi]) {
+        ring_dbl[b.a1] = ring_dbl[b.a2] = true;
+      } else {
+        exo_dbl[b.a1] = exo_dbl[b.a2] = true;
+      }
+    }
+  }
+
+  bool changed = true;
+  while (changed) {
+    changed = false;
+    for (const auto& ring : rings) {
+      bool all_arom = true;
+      for (int bi : ring)
+        if (!arom_bonds.count(bi)) { all_arom = false; break; }
+      if (all_arom) continue;
+      std::vector<int> ring_atoms;
+      for (int bi : ring)
+        for (int a : {parsed.bonds[bi].a1, parsed.bonds[bi].a2})
+          if (std::find(ring_atoms.begin(), ring_atoms.end(), a) ==
+              ring_atoms.end())
+            ring_atoms.push_back(a);
+      int pi = 0;
+      bool ok = true;
+      for (int a : ring_atoms) {
+        const RawAtom& atom = parsed.atoms[a];
+        if (atom.aromatic) {
+          pi += 1;
+        } else if (ring_dbl[a]) {
+          pi += 1;
+        } else if (exo_dbl[a]) {
+          // contributes 0
+        } else if (atom.symbol == "C") {
+          if (atom.charge == 1) {
+            // 0
+          } else if (atom.charge == -1) {
+            pi += 2;
+          } else {
+            ok = false;
+            break;
+          }
+        } else if (atom.symbol == "N" || atom.symbol == "O" ||
+                   atom.symbol == "S" || atom.symbol == "P" ||
+                   atom.symbol == "Se" || atom.symbol == "Te") {
+          pi += 2;
+        } else {
+          ok = false;
+          break;
+        }
+      }
+      if (ok && pi % 4 == 2) {
+        for (int a : ring_atoms) parsed.atoms[a].aromatic = true;
+        for (int bi : ring)
+          if (arom_bonds.insert(bi).second) changed = true;
+      }
+    }
+  }
+  return arom_bonds;
+}
+
 bool needs_double(const RawAtom& a, int conn, bool exo_multiple) {
   if (exo_multiple) return false;
   const std::string& s = a.symbol;
@@ -425,7 +545,7 @@ bool kekulize_backtrack(
   return false;
 }
 
-Molecule perceive(const Parsed& parsed) {
+Molecule perceive(Parsed parsed) {
   int n = static_cast<int>(parsed.atoms.size());
   std::vector<std::vector<int>> adj(n);
   for (size_t bi = 0; bi < parsed.bonds.size(); ++bi) {
@@ -493,6 +613,11 @@ Molecule perceive(const Parsed& parsed) {
       fail("cannot kekulize aromatic system");
     for (int bi : chosen) orders[bi] = 2;
   }
+
+  // aromaticity perception for kekulized input (keeps written orders;
+  // mirrors chem/mol.py)
+  for (int bi : perceive_aromatic(parsed, adj, in_ring, orders))
+    barom[bi] = true;
 
   Molecule mol;
   mol.adj = adj;

@@ -302,3 +302,51 @@ class TestParserRobustness:
             except native.NativeError:
                 nat_ok = False
             assert py_ok == nat_ok, s
+
+
+class TestAromaticityPerception:
+    """RDKit perceives aromaticity regardless of how the SMILES is written;
+    kekulized rings must featurize identically to their lowercase forms."""
+
+    PAIRS = [("C1=CC=CC=C1", "c1ccccc1"),
+             ("C1=CC=NC=C1", "c1ccncc1"),
+             ("C1=CC=CO1", "c1cco1".replace("o1", "oc1"))]
+
+    def test_kekulized_equals_aromatic_features(self):
+        for kek, arom in [("C1=CC=CC=C1", "c1ccccc1")]:
+            a = MolGraph(kek).arrays
+            b = MolGraph(arom).arrays
+            np.testing.assert_allclose(a.node_feats, b.node_feats,
+                                       err_msg=kek)
+            np.testing.assert_allclose(a.edge_feats, b.edge_feats,
+                                       err_msg=kek)
+
+    def test_perception_positives(self):
+        for smi, n_arom in [("C1=CC=CC=C1", 6),
+                            ("C1=CC=C2C=CC=CC2=C1", 10),
+                            ("C1=CC=NC=C1", 6),
+                            ("C1=CC=CN1", 5),
+                            ("C1=CC=CO1", 5)]:
+            m = mol_from_smiles(smi)
+            assert sum(a.aromatic for a in m.atoms) == n_arom, smi
+            # orders stay as written (valid kekulization preserved)
+            assert sum(1 for b in m.bonds if b.order == 2) >= 2
+
+    def test_perception_negatives(self):
+        for smi in ["C1CCCCC1", "C1=CCCCC1", "C1=CC=C1", "C1=CC1",
+                    "O=C1C=CC(=O)C=C1", "CC=CC"]:
+            m = mol_from_smiles(smi)
+            assert not any(a.aromatic for a in m.atoms), smi
+
+    def test_native_perception_parity(self):
+        from cgr_mpnn_3d_tpu import native
+        if not native.available():
+            pytest.skip("native unavailable")
+        for smi in ["C1=CC=CC=C1", "C1=CC=C2C=CC=CC2=C1", "C1=CC=NC=C1",
+                    "C1CCCCC1", "O=C1C=CC(=O)C=C1", "C1=CC=CN1"]:
+            a = native.featurize(smi, "mol")
+            b = MolGraph(smi).arrays
+            np.testing.assert_allclose(a.node_feats, b.node_feats,
+                                       err_msg=smi)
+            np.testing.assert_allclose(a.edge_feats, b.edge_feats,
+                                       err_msg=smi)
