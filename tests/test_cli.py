@@ -211,3 +211,29 @@ class TestDescriptors:
         from cgr_mpnn_3d_tpu.data.descriptors import process_xyz_to_npz
         with pytest.raises(ImportError, match="mace"):
             process_xyz_to_npz(DEMO, tmp_path / "x.xyz", tmp_path / "o.npz")
+
+
+class TestSweepRealTrainer:
+    def test_default_train_fn_end_to_end(self, datasets, tmp_path,
+                                         monkeypatch):
+        """The sweep's default trial runner must drive the real training
+        entry (cli/train.py) from a sampled config."""
+        from cgr_mpnn_3d_tpu.cli.sweep import run_sweep
+        monkeypatch.chdir(tmp_path)
+        space = {"parameters": {
+            "name": {"value": "CGR"},
+            "depth": {"values": [2]},
+            "hidden_sizes": {"values": [[16]]},
+            "dropout_ps": {"values": [[0.0]]},
+            "lr": {"value": 3e-3},
+            "num_epochs": {"value": 2},
+            "batch_size": {"value": 8},
+            "gamma": {"value": 1.0},
+            "learnable_skip": {"value": False},
+            "weight_decay": {"value": 0.0},
+            "data_path": {"value": str(datasets)},
+            "save_path": {"value": str(tmp_path / "saved")},
+        }}
+        out = run_sweep(space, 1, tmp_path / "study.jsonl")
+        assert out[0]["status"] == "ok"
+        assert np.isfinite(out[0]["val_loss"])
