@@ -95,6 +95,9 @@ class RxnGraphTrainer:
     # failure detection: after this many consecutive non-finite losses the
     # run aborts; single spikes roll back to the last saved state
     max_bad_steps: int = 3
+    # batches executed per device dispatch (lax.scan): amortizes host
+    # round-trip latency; >1 coarsens the NaN-guard rollback to chunk level
+    steps_per_call: int = 1
 
     def __post_init__(self):
         self.train_loader = PackedLoader(self.train_data, self.spec,
@@ -148,7 +151,16 @@ class RxnGraphTrainer:
             err = (preds - batch.labels) * batch.graph_mask
             return jnp.sum(err * err), preds
 
+        @jax.jit
+        def _train_chunk(state: TrainState, stacked: PackedGraphBatch):
+            def body(s, b):
+                s2, loss, gnorm = _train_step(s, b)
+                return s2, (loss, gnorm)
+            state, (losses, gnorms) = jax.lax.scan(body, state, stacked)
+            return state, losses, gnorms[-1]
+
         self._train_step = _train_step
+        self._train_chunk = _train_chunk
         self._eval_step = _eval_step
 
     # -- checkpointing ----------------------------------------------------
@@ -187,8 +199,29 @@ class RxnGraphTrainer:
         bad = 0
         last_good = state
         gnorm = None
-        for batch in self.train_loader.prefetch():
-            new_state, loss, gnorm = self._train_step(state, batch)
+
+        def batch_stream():
+            """Yield (stacked_chunk_or_batch, n_steps, sum_loss_fn)."""
+            K = max(1, self.steps_per_call)
+            pend: list[PackedGraphBatch] = []
+            for b in self.train_loader.prefetch():
+                if K == 1:
+                    yield b, 1
+                    continue
+                pend.append(b)
+                if len(pend) == K:
+                    yield jax.tree_util.tree_map(
+                        lambda *xs: np.stack(xs, 0), *pend), K
+                    pend = []
+            for b in pend:       # remainder: single steps
+                yield b, 1
+
+        for batch, n_steps in batch_stream():
+            if n_steps > 1:
+                new_state, losses, gnorm = self._train_chunk(state, batch)
+                loss = jnp.sum(losses)
+            else:
+                new_state, loss, gnorm = self._train_step(state, batch)
             loss_f = float(loss)
             if not np.isfinite(loss_f):
                 # NaN/inf guard (reference has none, SURVEY.md §5): drop the

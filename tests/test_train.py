@@ -154,3 +154,22 @@ class TestJsonDumper:
         data = json.load(open(p))
         assert data["m1"]["test_losses"] == 5.0
         assert "m2" in data
+
+
+class TestStepsPerCall:
+    def test_chunked_dispatch_matches_single(self, demo_ds, spec, tmp_path):
+        """steps_per_call>1 (lax.scan per dispatch) must reproduce the exact
+        same training result as per-step dispatch."""
+        tr1 = _mk_trainer(demo_ds, spec, tmp_path, num_epochs=3,
+                          model_save_dir=str(tmp_path / "a"))
+        out1 = tr1.train()
+        tr2 = _mk_trainer(demo_ds, spec, tmp_path, num_epochs=3,
+                          model_save_dir=str(tmp_path / "b"),
+                          steps_per_call=2)
+        out2 = tr2.train()
+        np.testing.assert_allclose(out1["train_losses"],
+                                   out2["train_losses"], rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(tr1.state.params),
+                        jax.tree_util.tree_leaves(tr2.state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
