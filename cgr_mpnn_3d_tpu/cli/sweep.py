@@ -73,26 +73,49 @@ def run_sweep(sweep_config: dict, count: int, study_path: str | Path,
     return results
 
 
+# config key -> (arg attribute, converter).  Every key a sweep space may
+# emit must appear here (or in _IGNORED_KEYS): unknown keys are an error, so
+# a sweep over e.g. activation_fn can never silently no-op.
+_KEY_MAP = {
+    "name": ("name", str),
+    "depth": ("depth", int),
+    "lr": ("learning_rate", float),
+    "learning_rate": ("learning_rate", float),
+    "num_epochs": ("num_epochs", int),
+    "weight_decay": ("weight_decay", float),
+    "batch_size": ("batch_size", int),
+    "gamma": ("gamma", float),
+    "learnable_skip": ("learnable_skip", bool),
+    "activation_fn": ("activation_fn", str),
+    "aggr": ("aggr", str),
+    "data_path": ("data_path", str),
+    "save_path": ("save_path", str),
+    "seed": ("seed", int),
+}
+# reference-config keys with no meaning on this backend
+_IGNORED_KEYS = {"gpu_id"}
+
+
 def _default_train_fn(config: dict) -> dict:
     from .train import build_arg_parser, train
 
     args = build_arg_parser().parse_args([])
-    args.name = config.get("name", "CGR-MPNN-3D")
-    args.depth = int(config.get("depth", 3))
+    unknown = (set(config) - set(_KEY_MAP) - _IGNORED_KEYS
+               - {"hidden_sizes", "dropout_ps"})
+    if unknown:
+        raise ValueError(f"sweep config keys not understood by the trial "
+                         f"runner: {sorted(unknown)}")
+    for key, (attr, conv) in _KEY_MAP.items():
+        if key in config:
+            setattr(args, attr, conv(config[key]))
+    # single-element lists broadcast across depth (reference sweeps use
+    # hidden_sizes=[h], hyperparameter_tuning.py:25)
     hs = config.get("hidden_sizes", [300])
     args.hidden_sizes = (hs * args.depth)[: args.depth] if len(hs) == 1 \
         else list(hs)
     dp = config.get("dropout_ps", [0.02])
     args.dropout_ps = (dp * args.depth)[: args.depth] if len(dp) == 1 \
         else list(dp)
-    args.learning_rate = float(config.get("lr", 1e-3))
-    args.num_epochs = int(config.get("num_epochs", 30))
-    args.weight_decay = float(config.get("weight_decay", 0.0))
-    args.batch_size = int(config.get("batch_size", 32))
-    args.gamma = float(config.get("gamma", 1.0))
-    args.learnable_skip = bool(config.get("learnable_skip", False))
-    args.data_path = config.get("data_path", "datasets")
-    args.save_path = config.get("save_path", "saved_models")
     args.skip_test = True
     result = train(args)
     return {"train_loss": result["train_losses"][-1],

@@ -35,6 +35,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--dropout_ps", default=None, nargs="+", type=float)
     ap.add_argument("-af", "--activation_fn", default="ReLU",
                     choices=["ReLU", "SiLU", "GELU"])
+    ap.add_argument("--aggr", default="add", choices=["add", "mean"],
+                    help="D-MPNN aggregation (GNN.py DMPNNConv aggr)")
     ap.add_argument("--save_path", default="saved_models")
     ap.add_argument("--learnable_skip", action="store_true")
     ap.add_argument("-lr", "--learning_rate", default=1e-3, type=float)
@@ -60,7 +62,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                          "default: half the CPUs)")
     ap.add_argument("--steps_per_call", default=1, type=int,
                     help="train steps per device dispatch (lax.scan); >1 "
-                         "amortizes host round-trip latency")
+                         "amortizes host round-trip latency BUT coarsens "
+                         "the NaN guard to chunk granularity (a bad batch "
+                         "rolls back the whole K-step chunk)")
     return ap
 
 
@@ -115,6 +119,7 @@ def train(args) -> dict:
         hidden_sizes=tuple(args.hidden_sizes),
         dropout_ps=tuple(args.dropout_ps),
         activation=args.activation_fn,
+        aggr=args.aggr,
         use_learnable_skip=args.learnable_skip,
         compute_dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16"
         else jnp.float32,

@@ -32,7 +32,8 @@ __all__ = ["ChemDataset"]
 class ChemDataset:
     def __init__(self, data_path: str, mode: str = "rxn",
                  data_npz_path: str | None = None,
-                 use_native: bool | None = None):
+                 use_native: bool | None = None,
+                 has_header: bool | None = None):
         if mode not in ("mol", "rxn"):
             raise ValueError(f"Unknown option for mode {mode!r}")
         self.mode = mode
@@ -45,8 +46,17 @@ class ChemDataset:
         smiles, labels = [], []
         with open(self.data_path, newline="") as f:
             reader = csv.reader(f)
-            header = next(reader)
-            if header and _is_float(header[-1]):  # header-less csv
+            first = next(reader, None)
+            if first is None:
+                first = []
+            if has_header is None:
+                # Sniff on the LABEL column (the one actually consumed as a
+                # float below) — sniffing on the last column can silently
+                # drop the first data row of a header-less CSV that carries
+                # trailing non-numeric columns.  Single-column files (no
+                # label) are treated as header-less.
+                has_header = len(first) > 1 and not _is_float(first[1])
+            if not has_header:
                 f.seek(0)
                 reader = csv.reader(f)
             for row in reader:
@@ -111,7 +121,7 @@ class ChemDataset:
         return self.graph(0).edge_feats.shape[1]
 
     # bump when featurization semantics change (invalidates disk caches)
-    FEAT_VERSION = 1
+    FEAT_VERSION = 2  # v2: rev_edge_index persisted explicitly
 
     def _cache_path(self) -> Path:
         return self.data_path.with_suffix(self.data_path.suffix
@@ -129,11 +139,16 @@ class ChemDataset:
             "edge_feats": np.concatenate([g.edge_feats for g in gs], 0),
             "senders": np.concatenate([g.senders for g in gs]),
             "receivers": np.concatenate([g.receivers for g in gs]),
+            "rev": np.concatenate([g.rev_edge_index for g in gs])
+            if gs else np.zeros((0,), np.int32),
             "n_nodes": np.asarray([g.num_nodes for g in gs], np.int64),
             "n_edges": np.asarray([g.num_edges for g in gs], np.int64),
         }
         path = self._cache_path()
-        np.savez_compressed(path, **payload, allow_pickle=True)
+        # NB: savez has no allow_pickle kwarg — passing one would write a
+        # bogus 'allow_pickle' array into the archive (np.save pickles the
+        # object-dtype smiles array on its own).
+        np.savez_compressed(path, **payload)
         return path
 
     def load_feature_cache(self) -> bool:
@@ -152,15 +167,12 @@ class ChemDataset:
                 for i, smi in enumerate(smis):
                     ns, ne = slice(n_off[i], n_off[i + 1]), \
                         slice(e_off[i], e_off[i + 1])
-                    e_cnt = int(z["n_edges"][i])
                     self._cache[str(smi)] = GraphArrays(
                         node_feats=z["node_feats"][ns].copy(),
                         edge_feats=z["edge_feats"][ne].copy(),
                         senders=z["senders"][ne].copy(),
                         receivers=z["receivers"][ne].copy(),
-                        rev_edge_index=(np.arange(e_cnt, dtype=np.int32)
-                                        ^ 1) if e_cnt else
-                        np.zeros((0,), np.int32))
+                        rev_edge_index=z["rev"][ne].copy())
         except Exception:
             return False
         return set(self.smiles) <= set(self._cache)

@@ -31,15 +31,28 @@ class NativeError(RuntimeError):
     pass
 
 
+def _stale() -> bool:
+    """True when the .so predates a source edit (rebuild needed)."""
+    if not _SO.exists():
+        return True
+    so_mtime = _SO.stat().st_mtime
+    return any((_DIR / src).exists()
+               and (_DIR / src).stat().st_mtime > so_mtime
+               for src in ("featurizer.cpp", "packer.cpp", "Makefile"))
+
+
 def build(force: bool = False) -> bool:
-    """Compile the shared library; returns success."""
+    """Compile the shared library; returns success.
+
+    Rebuilds automatically when featurizer.cpp/packer.cpp are newer than the
+    existing .so, so a stale binary is never silently used."""
     global _build_failed
-    if _SO.exists() and not force:
+    if not force and not _stale():
         return True
     try:
-        subprocess.run(["make", "-C", str(_DIR), "-s"], check=True,
+        subprocess.run(["make", "-C", str(_DIR), "-s", "-B"], check=True,
                        capture_output=True, text=True, timeout=300)
-        return _SO.exists()
+        return _SO.exists() and not _stale()
     except Exception:
         _build_failed = True
         return False
@@ -52,9 +65,12 @@ def _load():
     with _lock:
         if _lib is not None:
             return _lib
-        if not _SO.exists() and not build():
+        if not build():
             raise NativeError("native featurizer unavailable (build failed)")
-        lib = ctypes.CDLL(str(_SO))
+        try:
+            lib = ctypes.CDLL(str(_SO))
+        except OSError as e:  # wrong arch/glibc for a prebuilt binary
+            raise NativeError(f"native featurizer failed to load: {e}") from e
         lib.cgr_graph_new.restype = ctypes.c_void_p
         lib.cgr_graph_new.argtypes = [ctypes.c_char_p, ctypes.c_int]
         lib.cgr_last_error.restype = ctypes.c_char_p
@@ -87,7 +103,9 @@ def available() -> bool:
     try:
         _load()
         return True
-    except NativeError:
+    except Exception:
+        # any failure (build, dlopen on a foreign platform, symbol lookup)
+        # means callers must fall back to the pure-Python chem/ stack
         return False
 
 

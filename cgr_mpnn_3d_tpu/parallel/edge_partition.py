@@ -178,6 +178,11 @@ def ep_forward(params: dict, b: EdgeShardedBatch, cfg: CGRMPNNConfig,
     Dropout masks are drawn per shard (each shard owns distinct edges, so
     independent masks are exactly equivalent to the single-device draw).
     """
+    if cfg.aggr != "add":
+        raise ValueError(
+            f"edge-partitioned forward implements aggr='add' only, got "
+            f"{cfg.aggr!r} (mean normalization would need a global-degree "
+            f"exchange; use the single-device model)")
     act = ACTIVATIONS[cfg.activation]
     dt = cfg.compute_dtype
     if train and rng is not None:

@@ -41,7 +41,8 @@ from .checkpoint import save_checkpoint, load_checkpoint, restore_into
 from .metrics import MetricsLogger
 from .profiler import StepTimer
 
-__all__ = ["TrainState", "RxnGraphTrainer", "make_optimizer", "sse_loss"]
+__all__ = ["TrainState", "RxnGraphTrainer", "make_optimizer", "sse_loss",
+           "set_epoch_lr"]
 
 
 class TrainState(NamedTuple):
@@ -51,19 +52,40 @@ class TrainState(NamedTuple):
     rng: jax.Array
 
 
-def make_optimizer(lr: float, weight_decay: float, gamma: float,
-                   steps_per_epoch: int) -> optax.GradientTransformation:
-    """torch.optim.Adam(lr, weight_decay, amsgrad=True) +
-    ExponentialLR(gamma) per epoch."""
-    schedule = optax.exponential_decay(
-        init_value=lr, transition_steps=max(1, steps_per_epoch),
-        decay_rate=gamma, staircase=True)
+def make_optimizer(lr: float, weight_decay: float, gamma: float = 1.0,
+                   steps_per_epoch: int | None = None
+                   ) -> optax.GradientTransformation:
+    """torch.optim.Adam(lr, weight_decay, amsgrad=True).
+
+    The reference's per-epoch ExponentialLR (trainer.py:212) is applied by
+    ``set_epoch_lr`` from the *epoch index*, not from an optimizer step
+    count: the loader can emit a variable number of batches per epoch
+    (overflow windows) and NaN-guard rollbacks skip steps, so a
+    steps-per-epoch staircase would drift from true epoch boundaries.
+    ``gamma``/``steps_per_epoch`` are accepted for call-site compatibility
+    but decay is external."""
+    del gamma, steps_per_epoch
     txs = []
     if weight_decay:
         # torch Adam adds wd*param to the gradient before the moment update
         txs.append(optax.add_decayed_weights(weight_decay))
-    txs.append(optax.amsgrad(schedule))
+    txs.append(optax.inject_hyperparams(optax.amsgrad)(learning_rate=lr))
     return optax.chain(*txs)
+
+
+def set_epoch_lr(opt_state, lr: float, gamma: float, epoch: int):
+    """Return ``opt_state`` with learning_rate = lr * gamma**epoch — exact
+    parity with torch ExponentialLR stepped at each epoch end."""
+    new = []
+    for s in opt_state:
+        hp = getattr(s, "hyperparams", None)
+        if hp is not None and "learning_rate" in hp:
+            hp = dict(hp)
+            hp["learning_rate"] = jnp.asarray(
+                lr * (gamma ** epoch), dtype=jnp.float32)
+            s = s._replace(hyperparams=hp)
+        new.append(s)
+    return tuple(new)
 
 
 def sse_loss(params, batch: PackedGraphBatch, cfg: CGRMPNNConfig,
@@ -275,6 +297,9 @@ class RxnGraphTrainer:
         self._epoch_done = self.start_epoch - 1
         t0 = time.time()
         for epoch in range(self.start_epoch, self.num_epochs):
+            # per-epoch ExponentialLR parity (reference trainer.py:212)
+            self.state = self.state._replace(opt_state=set_epoch_lr(
+                self.state.opt_state, self.lr, self.gamma, epoch))
             out["train_losses"].append(self._train_epoch(epoch))
             self._epoch_done = epoch
             if epoch % self.val_frequency == 0 or epoch == self.num_epochs - 1:

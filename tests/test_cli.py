@@ -147,6 +147,30 @@ class TestSweep:
         out = run_sweep({"parameters": {}}, 2, study, train_fn=bad_train)
         assert all(r["status"] == "failed" for r in out)
 
+    def test_default_train_fn_rejects_unknown_keys(self):
+        # regression (VERDICT r1): a sweep over a key the trial runner does
+        # not map must fail loudly, never silently no-op
+        from cgr_mpnn_3d_tpu.cli.sweep import _default_train_fn
+        with pytest.raises(ValueError, match="bogus_knob"):
+            _default_train_fn({"bogus_knob": 1})
+
+    def test_default_train_fn_maps_activation(self, monkeypatch):
+        from cgr_mpnn_3d_tpu.cli import sweep as sweep_mod
+        from cgr_mpnn_3d_tpu.cli import train as train_mod
+        seen = {}
+
+        def fake_train(args):
+            seen.update(vars(args))
+            return {"train_losses": [1.0], "val_losses": [1.0]}
+
+        monkeypatch.setattr(train_mod, "train", fake_train)
+        sweep_mod._default_train_fn({"activation_fn": "GELU", "depth": 2,
+                                     "aggr": "mean", "seed": 7})
+        assert seen["activation_fn"] == "GELU"
+        assert seen["aggr"] == "mean"
+        assert seen["seed"] == 7
+        assert len(seen["hidden_sizes"]) == 2
+
 
 class TestPreprocessPure:
     def test_log_to_xyz(self, tmp_path):

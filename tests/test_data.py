@@ -66,6 +66,26 @@ class TestChemDataset:
         ds = ChemDataset(str(p))
         assert len(ds) == 1 and abs(ds.labels[0] - 4.5) < 1e-5
 
+    def test_headerless_csv_trailing_text_column(self, tmp_path):
+        # regression (ADVICE r1): sniffing on the LAST column used to treat
+        # a header-less first row with a trailing non-numeric column as a
+        # header and silently drop it — the label column is what matters
+        p = tmp_path / "nohdr2.csv"
+        p.write_text("CCO>>CCO,4.5,noteA\nO>>O,2.0,noteB\n")
+        ds = ChemDataset(str(p))
+        assert len(ds) == 2
+        assert abs(ds.labels[0] - 4.5) < 1e-5
+
+    def test_has_header_override(self, tmp_path):
+        # a header whose column 1 happens to parse as a float defeats any
+        # sniffer; the explicit flag wins
+        p = tmp_path / "odd.csv"
+        p.write_text("smiles,1.0\nCCO>>CCO,4.5\n")
+        ds = ChemDataset(str(p), has_header=True)
+        assert len(ds) == 1 and abs(ds.labels[0] - 4.5) < 1e-5
+        ds2 = ChemDataset(str(p), has_header=False)
+        assert len(ds2) == 2
+
 
 def _brute_force_check(batch, spec):
     """Validate every precomputed index array against senders/receivers."""
@@ -299,3 +319,18 @@ class TestFeatureCache:
         os.utime(csv_path)
         ds3 = ChemDataset(csv_path)
         assert not ds3.load_feature_cache()
+
+    def test_cache_payload_clean(self, csv_path):
+        # regression (ADVICE r1): savez has no allow_pickle kwarg — passing
+        # one wrote a bogus 'allow_pickle' array; rev_edge_index is now
+        # persisted instead of being reconstructed as arange^1
+        ds = ChemDataset(csv_path)
+        ds.prefeaturize(cache=True)
+        with np.load(ds._cache_path(), allow_pickle=True) as z:
+            assert "allow_pickle" not in z.files
+            assert "rev" in z.files
+        ds2 = ChemDataset(csv_path)
+        assert ds2.load_feature_cache()
+        for i in range(len(ds)):
+            np.testing.assert_array_equal(ds.graph(i).rev_edge_index,
+                                          ds2.graph(i).rev_edge_index)

@@ -103,3 +103,37 @@ def test_packer_error():
     spec = plan_spec(graphs, te=4, tn=2, tb=1).with_packs(1)
     with pytest.raises(ValueError, match="exceeds pack tile"):
         native.pack_graphs_native(graphs, [0.0], spec)
+
+
+def test_available_false_on_dlopen_failure(monkeypatch):
+    """available() must degrade to False (pure-Python fallback), not crash,
+    when the .so cannot be dlopen'd (foreign arch/glibc) — ADVICE r1."""
+    import ctypes
+
+    def boom(path):
+        raise OSError("wrong ELF class: ELFCLASS64")
+
+    real_cdll = ctypes.CDLL
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(ctypes, "CDLL", boom)
+    assert native.available() is False
+    # with the real dlopen back, the library loads again
+    monkeypatch.setattr(ctypes, "CDLL", real_cdll)
+    native._lib = None
+    assert native.available() is True
+
+
+def test_stale_source_triggers_rebuild(tmp_path):
+    """A source file newer than the .so marks the build stale."""
+    import os
+    import time
+    assert native.build()  # ensure built
+    so = native._SO
+    src = native._DIR / "featurizer.cpp"
+    old = so.stat().st_mtime
+    time.sleep(0.01)
+    os.utime(src)  # touch source -> newer than .so
+    assert native._stale()
+    assert native.build()  # rebuilds
+    assert so.stat().st_mtime >= old
+    assert not native._stale()

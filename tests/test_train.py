@@ -58,6 +58,22 @@ class TestTrainer:
                          gamma=0.9, num_epochs=2)
         out = tr.train()
         assert np.isfinite(out["train_losses"]).all()
+        # after 2 epochs the injected lr must be lr * gamma^1 (the decay is
+        # driven by the epoch index, not an optimizer step count)
+        from cgr_mpnn_3d_tpu.train.trainer import set_epoch_lr
+        lrs = [float(s.hyperparams["learning_rate"])
+               for s in tr.state.opt_state if hasattr(s, "hyperparams")]
+        assert lrs and abs(lrs[0] - tr.lr * 0.9 ** 1) < 1e-9
+
+    def test_set_epoch_lr_exponential(self):
+        import jax.numpy as jnp
+        from cgr_mpnn_3d_tpu.train import make_optimizer, set_epoch_lr
+        opt = make_optimizer(1e-2, 1e-5, 0.5)
+        st = opt.init({"w": jnp.ones(3)})
+        st = set_epoch_lr(st, 1e-2, 0.5, 3)
+        lrs = [float(s.hyperparams["learning_rate"])
+               for s in st if hasattr(s, "hyperparams")]
+        assert lrs == pytest.approx([1e-2 * 0.5 ** 3])
 
     def test_resume_exact(self, demo_ds, spec, tmp_path):
         # 4 epochs straight
