@@ -15,27 +15,93 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import sys
 import time
 
 import numpy as np
 
 
+def _pad128(v: int) -> int:
+    return int(math.ceil(v / 128.0)) * 128
+
+
+def _padded_model_flops(spec, depth, H, F, Fe, mode: str) -> int:
+    """MXU work per step under hardware 128-padding, incl. the one-hot
+    scatter/gather matmuls — what the chip actually executes."""
+    # MXU pads contraction (k) and lane (n) dims to 128; sublane (m) to 8
+    Hp, Fp, Fep = H, F, Fe
+    te, tn, tb = spec.te, spec.tn, spec.tb
+    mm = lambda m, k, n: 2 * m * _pad128(k) * _pad128(n)
+    fwd = (mm(te, tn, Fp)                       # x[src] gather
+           + mm(te, Fp, Hp) + mm(te, Fep, Hp)   # edge_init
+           + depth * (mm(te, te, Hp)            # one-hot message matmul
+                      + mm(te, Hp, Hp))         # conv linear
+           + mm(tn, te, Hp)                     # incoming-sum scatter
+           + mm(tn, Hp, Hp) + mm(tn, Fp, Hp)    # edge_to_node
+           + mm(tb, tn, Hp) + mm(tb, Hp, 128))  # pool + ffn head
+    if mode == "inference":
+        return fwd * spec.p
+    bwd = (mm(tb, Hp, 128) + mm(tb, tn, Hp)            # head + pool bwd
+           + 2 * mm(tn, Hp, Hp) + mm(tn, Fp, Hp)       # dws, ds, dwxn
+           + mm(te, tn, Hp)                            # g_h gather
+           + depth * (2 * mm(te, Hp, Hp)               # dW, dt
+                      + mm(te, te, Hp))                # dh message bwd
+           + mm(te, Fp, Hp) + mm(te, Fep, Hp))         # dwx, dwe
+    return (fwd + bwd) * spec.p
+
+
+def _useful_flops(n_edges, n_nodes, n_graphs, depth, H, F, Fe,
+                  mode: str) -> int:
+    """True model math: unpadded dims, scatter/gather/pool at zero cost —
+    the honest numerator for MXU-utilization claims."""
+    fwd = (n_edges * (2 * (F + Fe) * H + depth * 2 * H * H)
+           + n_nodes * 2 * (F + H) * H + n_graphs * 2 * H)
+    return fwd if mode == "inference" else 3 * fwd
+
+
+def _device_matmul_ceiling_tflops(jax, jnp) -> float:
+    """Sustained bf16 MXU rate on this chip (large chained matmul)."""
+    n = 8192
+    a = jnp.ones((n, n), jnp.bfloat16)
+
+    def body(c, _):
+        r = jnp.dot(c, a, preferred_element_type=jnp.float32)
+        return r.astype(jnp.bfloat16), ()
+
+    @jax.jit
+    def loop(c):
+        r, _ = jax.lax.scan(body, c, None, length=32)
+        return r
+
+    jax.block_until_ready(loop(a))
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        jax.block_until_ready(loop(a))
+        best = min(best, time.time() - t0)
+    return 2 * n * n * n * 32 / best / 1e12
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--graphs", type=int, default=2500,
                     help="synthetic graphs per batch (~52 edges each)")
-    ap.add_argument("--steps", type=int, default=32,
+    ap.add_argument("--steps", type=int, default=64,
                     help="train steps per timed scan")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
     ap.add_argument("--mace-dim", type=int, default=192)
-    ap.add_argument("--te", type=int, default=256,
+    ap.add_argument("--te", type=int, default=128,
                     help="edge slots per pack (message matmul is O(te) per "
                          "edge -> smaller tiles win until fill drops)")
-    ap.add_argument("--tn", type=int, default=128)
-    ap.add_argument("--tb", type=int, default=16)
+    ap.add_argument("--tn", type=int, default=64)
+    ap.add_argument("--tb", type=int, default=8)
+    ap.add_argument("--q", type=int, default=4,
+                    help="sub-packs fused per kernel grid step: message "
+                         "matmuls stay per-pack [te,te] while dense matmuls "
+                         "run on [q*te, H] tiles")
     ap.add_argument("--no-pallas", action="store_true",
                     help="use the XLA gather path instead of Pallas kernels")
     ap.add_argument("--mode", default="train",
@@ -71,8 +137,17 @@ def main() -> None:
     n_edges_real = sum(g.num_edges for g in graphs)
     spec = plan_spec(graphs, te=args.te, tn=args.tn, tb=args.tb)
     from cgr_mpnn_3d_tpu.data.batch import packs_needed
-    spec = spec.with_packs(packs_needed(graphs, spec, fill_target=0.97))
-    batch = pack_graphs(graphs, [0.0] * len(graphs), spec)
+    for fill_target in (0.97, 0.95, 0.92, 0.88, 0.82, 0.75):
+        try:
+            p = packs_needed(graphs, spec, fill_target=fill_target)
+            p = -(-p // args.q) * args.q       # q | p (sub-pack fusion)
+            spec = spec.with_packs(p)
+            batch = pack_graphs(graphs, [0.0] * len(graphs), spec)
+            break
+        except ValueError:  # first-fit needs headroom at small tiles
+            continue
+    else:
+        raise SystemExit("could not pack the benchmark batch")
     print(f"batch: {n_edges_real} real edges, {spec.p} packs "
           f"({spec.total_edges} slots, fill "
           f"{n_edges_real / spec.total_edges:.2f})", file=sys.stderr)
@@ -83,7 +158,7 @@ def main() -> None:
         hidden_sizes=(400,) * 4, dropout_ps=(0.0,) * 4,
         compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16"
         else jnp.float32,
-        use_pallas=use_pallas)
+        use_pallas=use_pallas, pallas_sub_packs=args.q)
     print(f"pallas: {use_pallas}", file=sys.stderr)
 
     params = init_params(jax.random.PRNGKey(0), cfg)
@@ -132,6 +207,7 @@ def main() -> None:
           file=sys.stderr)
 
     best = 0.0
+    best_dt = float("inf")
     for r in range(args.repeats):
         t0 = time.time()
         params2, opt_state2, loss = run(params, opt_state)
@@ -141,6 +217,26 @@ def main() -> None:
         print(f"repeat {r}: {dt:.3f}s -> {eps/1e6:.2f} Medges/s",
               file=sys.stderr)
         best = max(best, eps)
+        best_dt = min(best_dt, dt)
+
+    # roofline honesty (VERDICT r1): how much of this is real model math,
+    # and how close is the step to the chip's achievable matmul rate
+    step_s = best_dt / args.steps
+    padded = _padded_model_flops(spec, cfg.depth, cfg.hidden, nf, 14,
+                                 args.mode)
+    n_nodes_real = sum(g.num_nodes for g in graphs)
+    useful = _useful_flops(n_edges_real, n_nodes_real, len(graphs),
+                           cfg.depth, cfg.hidden, nf, 14, args.mode)
+    ceiling = (_device_matmul_ceiling_tflops(jax, jnp)
+               if not args.cpu else float("nan"))
+    print(f"roofline: executed(padded+one-hot) {padded/1e12:.2f} TFLOP/step "
+          f"-> {padded/step_s/1e12:.1f} TFLOP/s "
+          f"({padded/step_s/1e12/ceiling*100:.0f}% of the {ceiling:.0f} "
+          f"TFLOP/s sustained matmul ceiling measured on this chip); "
+          f"useful model math (unpadded, scatter-free) "
+          f"{useful/1e12:.2f} TFLOP/step -> {useful/step_s/1e12:.1f} "
+          f"TFLOP/s ({useful/padded*100:.0f}% of executed)",
+          file=sys.stderr)
 
     metric = ("edges_per_s_per_chip" if args.mode == "train"
               else "inference_edges_per_s_per_chip")

@@ -56,6 +56,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--pack_te", default=256, type=int)
     ap.add_argument("--pack_tn", default=128, type=int)
     ap.add_argument("--pack_tb", default=16, type=int)
+    ap.add_argument("--pack_q", default=1, type=int,
+                    help="sub-packs fused per Pallas grid step (te=128/q=4 "
+                         "is ~16%% faster than te=256/q=1 on v5e; pack "
+                         "count rounds up to a q multiple)")
     ap.add_argument("--skip_test", action="store_true")
     ap.add_argument("--num_workers", default=None, type=int,
                     help="featurization threads (reference trainer.py:99 "
@@ -123,6 +127,7 @@ def train(args) -> dict:
         use_learnable_skip=args.learnable_skip,
         compute_dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16"
         else jnp.float32,
+        pallas_sub_packs=args.pack_q,
     )
     cfg = maybe_enable_pallas(cfg)  # TPU: one-hot SpMM kernels
 

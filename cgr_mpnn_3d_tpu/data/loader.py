@@ -41,9 +41,14 @@ class PackedLoader:
     # place big graphs first within each window (first-fit-decreasing):
     # measurably better pack fill; row_ids keep outputs row-addressable
     sort_within_batch: bool = True
+    # round the pack count up to a multiple (the fused kernel's sub-pack
+    # fusion q requires spec.p % q == 0); extra packs are empty/masked
+    round_packs_to: int = 1
 
     def __post_init__(self):
         packs = max(1, int(np.ceil(self.batch_size / self.spec.tb)))
+        r = max(1, self.round_packs_to)
+        packs = -(-packs // r) * r
         self.spec = self.spec.with_packs(packs)
         self._epoch = 0
         if self.use_native is None:

@@ -63,6 +63,11 @@ class CGRMPNNConfig:
     use_pallas: bool = False               # one-hot SpMM kernels (needs spec)
     pallas_interpret: bool = False         # kernel interpreter (CPU tests)
     fuse_whole_model: bool = True          # single-kernel fwd/bwd per pack
+    pallas_sub_packs: int = 1              # sub-packs per grid step (q): the
+                                           # one-hot matrices are block-diag
+                                           # per pack, so q small packs halve
+                                           # message-matmul flops while dense
+                                           # matmuls keep full [q*te] tiles
 
     def __post_init__(self):
         object.__setattr__(self, "hidden_sizes",
@@ -212,7 +217,8 @@ def apply(params: dict, batch: PackedGraphBatch, cfg: CGRMPNNConfig,
             p=spec.p, d_nbr=D, dn_pool=batch.graph_nodes.shape[1],
             depth=cfg.depth, dropout_ps=tuple(cfg.dropout_ps),
             train=do_train, learnable_skip=cfg.use_learnable_skip,
-            mat_dtype=md, interpret=cfg.pallas_interpret)
+            mat_dtype=md, interpret=cfg.pallas_interpret,
+            q=cfg.pallas_sub_packs)
         wei = params["edge_init"]["w"]
         wen = params["edge_to_node"]["w"]
         w_stack = jnp.stack([params["convs"][l]["w"]
@@ -365,7 +371,7 @@ def fused_train_value_and_grad(params: dict, batch: PackedGraphBatch,
         p=spec.p, d_nbr=D, dn_pool=batch.graph_nodes.shape[1],
         depth=cfg.depth, dropout_ps=tuple(cfg.dropout_ps), train=do_train,
         learnable_skip=cfg.use_learnable_skip, mat_dtype=md,
-        interpret=cfg.pallas_interpret)
+        interpret=cfg.pallas_interpret, q=cfg.pallas_sub_packs)
     wei = params["edge_init"]["w"]
     wen = params["edge_to_node"]["w"]
     w_stack = jnp.stack([params["convs"][l]["w"] for l in range(cfg.depth)])

@@ -48,6 +48,17 @@ class ModelKernelSpec:
     learnable_skip: bool = False
     mat_dtype: object = jnp.bfloat16
     interpret: bool = False
+    # sub-packs fused per grid step: the one-hot matrices are block-diagonal
+    # per pack, so q small packs (e.g. te=128) shrink the message matmuls to
+    # q x [te,te] while every dense matmul still runs on the concatenated
+    # [q*te, H] tile at full MXU rate.  p % q == 0.
+    q: int = 1
+
+    def __post_init__(self):
+        if self.p % self.q:
+            raise ValueError(
+                f"pack count p={self.p} not divisible by sub-packs "
+                f"q={self.q}")
 
     def keep(self, l):
         return 1.0 - self.dropout_ps[l]
@@ -56,14 +67,18 @@ class ModelKernelSpec:
         return self.train and self.dropout_ps[l] > 0.0
 
 
-def _build_g(idx_ref, base, c_tile, d_nbr, dtype):
-    """Unsigned one-hot gather matrix [C, R] from transposed index rows."""
-    il = idx_ref[:] - base
-    r_tile = idx_ref.shape[1]
+def _onehot(il, base, c_tile, d_nbr, dtype, signed: bool = False):
+    """One-hot matrix [C, R] from transposed index row *values* ``il``
+    ([D, R], global ids).  With ``signed``, row d_nbr is the rev row and
+    subtracts (the D-MPNN message matrix, cf. pallas_fused._build_mt)."""
+    ilb = il - base
+    r_tile = il.shape[1]
     rows = jax.lax.broadcasted_iota(jnp.int32, (c_tile, r_tile), 0)
     g = jnp.zeros((c_tile, r_tile), dtype)
     for d in range(d_nbr):
-        g = g + (rows == il[d:d + 1, :]).astype(dtype)
+        g = g + (rows == ilb[d:d + 1, :]).astype(dtype)
+    if signed:
+        g = g - (rows == ilb[d_nbr:d_nbr + 1, :]).astype(dtype)
     return g
 
 
@@ -94,26 +109,80 @@ def _outerT(a, b, md):
                                preferred_element_type=jnp.float32)
 
 
+class _BlockDiag:
+    """q per-sub-pack one-hot matrices used as one block-diagonal operator.
+
+    The packer's pack-locality invariant makes every one-hot matrix
+    block-diagonal across sub-packs, so contributions never cross blocks:
+    contractions run per sub and concatenate — q x [te,te] message matmuls
+    instead of one [q*te, q*te], while the dense matmuls that consume the
+    result still see full [q*te, H] tiles.
+    """
+
+    def __init__(self, blocks, rows_in, rows_out):
+        self.blocks = blocks          # q matrices [rows_in, rows_out]
+        self.rows_in = rows_in
+        self.rows_out = rows_out
+
+    def dot0(self, v, md):
+        """contract dim0: blockdiag[C,R]^T-style x v[C,F] -> [R,F]."""
+        outs = [_dot0(b, v[j * self.rows_in:(j + 1) * self.rows_in], md)
+                for j, b in enumerate(self.blocks)]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+    def mm(self, v, md):
+        """blockdiag[C,R] @ v[R,F] -> [C,F] (the adjoint of dot0)."""
+        outs = [_mm(b, v[j * self.rows_out:(j + 1) * self.rows_out], md)
+                for j, b in enumerate(self.blocks)]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+
+def _build_ops(spec, p, idx_send, idx_msg, idx_inc, idx_pool, tn, te, md):
+    """One-hot operators for the q sub-packs of grid step ``p``."""
+    q = spec.q
+    i_send, i_msg = idx_send[:], idx_msg[:]
+    i_inc, i_pool = idx_inc[:], idx_pool[:]
+    dps, dpm = i_send.shape[0] // q, i_msg.shape[0] // q
+    dpi, dnp = i_inc.shape[0] // q, i_pool.shape[0] // q
+    sends, mts, incs, pools = [], [], [], []
+    for j in range(q):
+        nb, eb = (p * q + j) * tn, (p * q + j) * te
+        sends.append(_onehot(i_send[j * dps:(j + 1) * dps], nb, tn, 1, md))
+        mts.append(_onehot(i_msg[j * dpm:(j + 1) * dpm], eb, te,
+                           spec.d_nbr, md, signed=True))
+        incs.append(_onehot(i_inc[j * dpi:(j + 1) * dpi], eb, te,
+                            spec.d_nbr, md))
+        pools.append(_onehot(i_pool[j * dnp:(j + 1) * dnp], nb, tn,
+                             spec.dn_pool, md))
+    return (_BlockDiag(sends, tn, te), _BlockDiag(mts, te, te),
+            _BlockDiag(incs, te, tn),
+            _BlockDiag(pools, tn, idx_pool.shape[1]))
+
+
 def _replay_forward(spec, p, refs):
     """Common forward computation in VMEM; returns all needed states."""
     (idx_send, idx_msg, idx_inc, idx_pool, x_ref, e_ref, wx, we, be, wc, bc,
      skips, ws, wxn, ben, wffn, bffn, seeds) = refs
     md = spec.mat_dtype
-    tn = x_ref.shape[0]
-    te = e_ref.shape[0]
-    tb = idx_pool.shape[1]
+    q = spec.q
+    tn = x_ref.shape[0] // q      # nodes per sub-pack
+    te = e_ref.shape[0] // q      # edges per sub-pack
 
-    g_send = _build_g(idx_send, p * tn, tn, 1, md)          # [TN, TE]
-    x_src = _dot0(g_send, x_ref[:], md)                     # [TE, F]
+    g_send, mt, g_inc, g_pool = _build_ops(
+        spec, p, idx_send, idx_msg, idx_inc, idx_pool, tn, te, md)
+
+    x_src = g_send.dot0(x_ref[:], md)                       # [QTE, F]
     pre0 = _mm(x_src, wx[:], md) + _mm(e_ref[:], we[:], md) \
         + be[:].astype(jnp.float32)
     h0 = jnp.maximum(pre0, 0.0)
 
-    mt = _build_mt(idx_msg, p * te, te, spec.d_nbr, md)     # [TE, TE]
     states = [h0]
+    ts = []          # per-layer messages, kept for the backward wgrad
     h = h0
     for l in range(spec.depth):
-        t = _dot0(mt, h, md)
+        t = mt.dot0(h, md)
+        # kept in mat_dtype: the backward wgrad consumes t cast to md anyway
+        ts.append(t.astype(md))
         pre = _mm(t, wc[l], md) + bc[l:l + 1, :].astype(jnp.float32) \
             + skips[0, l] * h0
         out = jnp.maximum(pre, 0.0)
@@ -125,16 +194,15 @@ def _replay_forward(spec, p, refs):
         states.append(out)
         h = out
 
-    g_inc = _build_g(idx_inc, p * te, te, spec.d_nbr, md)   # [TE, TN]
-    s = _dot0(g_inc, h, md)                                 # [TN, H]
+    s = g_inc.dot0(h, md)                                   # [QTN, H]
     pre_n = _mm(s, ws[:], md) + _mm(x_ref[:], wxn[:], md) \
         + ben[:].astype(jnp.float32)
-    hn = jnp.maximum(pre_n, 0.0)                            # [TN, H]
+    hn = jnp.maximum(pre_n, 0.0)                            # [QTN, H]
 
-    g_pool = _build_g(idx_pool, p * tn, tn, spec.dn_pool, md)  # [TN, TB]
-    pooled = _dot0(g_pool, hn, md)                          # [TB, H]
-    preds = _mm(pooled, wffn[:], md) + bffn[:].astype(jnp.float32)  # [TB, 1]
-    return (g_send, x_src, mt, states, g_inc, s, hn, g_pool, pooled, preds)
+    pooled = g_pool.dot0(hn, md)                            # [QTB, H]
+    preds = _mm(pooled, wffn[:], md) + bffn[:].astype(jnp.float32)  # [QTB,1]
+    return (g_send, x_src, mt, states, ts, g_inc, s, hn, g_pool, pooled,
+            preds)
 
 
 def _fwd_kernel(*refs, spec: ModelKernelSpec):
@@ -163,7 +231,7 @@ def _bwd_kernel(*refs, spec: ModelKernelSpec, with_loss: bool = False):
      skips, ws, wxn, ben, wffn, bffn, seeds) = ins
     md = spec.mat_dtype
 
-    (g_send, x_src, mt, states, g_inc, s, hn, g_pool, pooled, preds) = \
+    (g_send, x_src, mt, states, ts, g_inc, s, hn, g_pool, pooled, preds) = \
         _replay_forward(spec, p, ins)
 
     @pl.when(p == 0)
@@ -184,16 +252,16 @@ def _bwd_kernel(*refs, spec: ModelKernelSpec, with_loss: bool = False):
     # ffn head
     dwffn_ref[:] += _outerT(pooled, dpred, md)
     dbffn_ref[:] += jnp.sum(dpred, axis=0, keepdims=True)
-    dpooled = _mmT(dpred, wffn[:], md)                      # [TB, H]
+    dpooled = _mmT(dpred, wffn[:], md)                      # [QTB, H]
     # pooling
-    dhn = _mm(g_pool.astype(md), dpooled, md)               # [TN, H]
+    dhn = g_pool.mm(dpooled, md)                            # [QTN, H]
     # readout
     dpre_n = jnp.where(hn > 0.0, dhn, 0.0)
     dws_ref[:] += _outerT(s, dpre_n, md)
     dwxn_ref[:] += _outerT(x_ref[:], dpre_n, md)
     dben_ref[:] += jnp.sum(dpre_n, axis=0, keepdims=True)
-    ds = _mmT(dpre_n, ws[:], md)                            # [TN, H]
-    g_h = _mm(g_inc.astype(md), ds, md)                     # [TE, H]
+    ds = _mmT(dpre_n, ws[:], md)                            # [QTN, H]
+    g_h = g_inc.mm(ds, md)                                  # [QTE, H]
     # conv stack (reverse replay)
     h0 = states[0]
     dh0 = jnp.zeros_like(g_h)
@@ -202,13 +270,14 @@ def _bwd_kernel(*refs, spec: ModelKernelSpec, with_loss: bool = False):
         out_l = states[l + 1]
         scale = (1.0 / spec.keep(l)) if spec.use_dropout(l) else 1.0
         dpre = jnp.where(out_l > 0.0, g_cur * scale, 0.0)
-        t = _dot0(mt, states[l], md)
-        dwc_ref[l] += _outerT(t, dpre, md)
+        # t saved from the forward replay (one fewer [TE,TE]x[TE,H] matmul
+        # per layer than recomputing it here)
+        dwc_ref[l] += _outerT(ts[l], dpre, md)
         dbc_ref[l:l + 1, :] += jnp.sum(dpre, axis=0, keepdims=True)
         dskip_ref[0:1, l:l + 1] += jnp.sum(dpre * h0).reshape(1, 1)
         dh0 = dh0 + skips[0, l] * dpre
         dt = _mmT(dpre, wc[l], md)
-        g_cur = _mm(mt.astype(md), dt, md)
+        g_cur = mt.mm(dt, md)
     dh0 = dh0 + g_cur
     # edge_init
     dpre0 = jnp.where(h0 > 0.0, dh0, 0.0)
@@ -220,9 +289,12 @@ def _bwd_kernel(*refs, spec: ModelKernelSpec, with_loss: bool = False):
 def _in_specs(spec, d_pad_msg, d_pad_send, d_pad_inc, dn_pad, te, tn, tb,
               F, Fe, H, L):
     vm = pltpu.VMEM
+    q = spec.q
     fixed = lambda *shape: pl.BlockSpec(shape, (lambda i: (0,) * len(shape)),
                                         memory_space=vm)
-    per = lambda shape: pl.BlockSpec(shape, lambda i: (i,) + (0,) *
+    # per-grid-step blocks cover q consecutive sub-packs
+    per = lambda shape: pl.BlockSpec((q * shape[0],) + shape[1:],
+                                     lambda i: (i,) + (0,) *
                                      (len(shape) - 1), memory_space=vm)
     smem = lambda *shape: pl.BlockSpec(shape, (lambda i: (0,) * len(shape)),
                                        memory_space=pltpu.SMEM)
@@ -271,9 +343,9 @@ def _fwd_call(spec, x, e, idxs, params_flat):
     tn, te, tb, dps, dpm, dpi, dnp_ = _dims(x, e, idxs, wc, spec.p)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, spec=spec),
-        grid=(spec.p,),
+        grid=(spec.p // spec.q,),
         in_specs=_in_specs(spec, dpm, dps, dpi, dnp_, te, tn, tb, F, Fe, H, L),
-        out_specs=pl.BlockSpec((tb, 1), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((spec.q * tb, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((spec.p * tb, 1), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -310,11 +382,11 @@ def _bwd_call(spec, x, e, idxs, params_flat, dpred):
                  fixed(L, H), fixed(1, L), fixed(H, H), fixed(F, H),
                  fixed(1, H), fixed(H, 1), fixed(1, 1))
     in_specs = _in_specs(spec, dpm, dps, dpi, dnp_, te, tn, tb, F, Fe, H, L)
-    in_specs.append(pl.BlockSpec((tb, 1), lambda i: (i, 0),
+    in_specs.append(pl.BlockSpec((spec.q * tb, 1), lambda i: (i, 0),
                                  memory_space=vm))
     return pl.pallas_call(
         functools.partial(_bwd_kernel, spec=spec),
-        grid=(spec.p,),
+        grid=(spec.p // spec.q,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
@@ -358,11 +430,12 @@ def fused_model_train(spec: ModelKernelSpec, x, e, idxs, params_flat,
                  fixed(L, H, H), fixed(L, H), fixed(1, L), fixed(H, H),
                  fixed(F, H), fixed(1, H), fixed(H, 1), fixed(1, 1))
     in_specs = _in_specs(spec, dpm, dps, dpi, dnp_, te, tn, tb, F, Fe, H, L)
-    per_tb = pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=vm)
+    per_tb = pl.BlockSpec((spec.q * tb, 1), lambda i: (i, 0),
+                          memory_space=vm)
     in_specs += [per_tb, per_tb]
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, spec=spec, with_loss=True),
-        grid=(spec.p,),
+        grid=(spec.p // spec.q,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,

@@ -122,12 +122,14 @@ class RxnGraphTrainer:
     steps_per_call: int = 1
 
     def __post_init__(self):
+        q = max(1, self.cfg.pallas_sub_packs)
         self.train_loader = PackedLoader(self.train_data, self.spec,
                                          batch_size=self.batch_size,
-                                         shuffle=True, seed=self.seed)
+                                         shuffle=True, seed=self.seed,
+                                         round_packs_to=q)
         self.val_loader = PackedLoader(self.val_data, self.spec,
                                        batch_size=self.batch_size,
-                                       shuffle=False)
+                                       shuffle=False, round_packs_to=q)
         steps_per_epoch = len(self.train_loader)
         self.optimizer = make_optimizer(self.lr, self.weight_decay,
                                         self.gamma, steps_per_epoch)

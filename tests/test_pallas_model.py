@@ -23,20 +23,22 @@ def packed():
     return spec, pack_graphs(graphs, LABELS, spec)
 
 
-def _cfgs(depth=3, learnable=False):
+def _cfgs(depth=3, learnable=False, q=1):
     kw = dict(num_node_features=78, num_edge_features=14, depth=depth,
               hidden_sizes=(16,) * depth, dropout_ps=(0.0,) * depth,
               use_learnable_skip=learnable)
     cfg_x = CGRMPNNConfig(**kw)
-    cfg_m = CGRMPNNConfig(**kw, use_pallas=True, pallas_interpret=True)
+    cfg_m = CGRMPNNConfig(**kw, use_pallas=True, pallas_interpret=True,
+                          pallas_sub_packs=q)
     assert cfg_m.fuse_whole_model
     return cfg_x, cfg_m
 
 
 class TestWholeModelKernel:
-    def test_forward_matches(self, packed):
+    @pytest.mark.parametrize("q", [1, 2])
+    def test_forward_matches(self, packed, q):
         spec, batch = packed
-        cfg_x, cfg_m = _cfgs()
+        cfg_x, cfg_m = _cfgs(q=q)
         params = init_params(jax.random.PRNGKey(0), cfg_x)
         p_x = np.asarray(apply(params, batch, cfg_x))
         p_m = np.asarray(apply(params, batch, cfg_m, spec))
@@ -44,9 +46,10 @@ class TestWholeModelKernel:
         np.testing.assert_allclose(p_m[mask], p_x[mask], rtol=1e-4,
                                    atol=1e-4)
 
-    def test_all_param_grads_match(self, packed):
+    @pytest.mark.parametrize("q", [1, 2])
+    def test_all_param_grads_match(self, packed, q):
         spec, batch = packed
-        cfg_x, cfg_m = _cfgs(learnable=True)
+        cfg_x, cfg_m = _cfgs(learnable=True, q=q)
         params = init_params(jax.random.PRNGKey(1), cfg_x)
         params["skip_weights"] = [jnp.asarray(v) for v in (0.8, -0.3, 1.2)]
         y = jnp.asarray(batch.labels)
@@ -85,12 +88,13 @@ class TestWholeModelKernel:
         assert not np.allclose(p_tr1[mask], p_eval[mask])
         assert not np.allclose(p_tr1[mask], p_tr3[mask])
 
-    def test_fused_train_step_matches_autodiff(self, packed):
+    @pytest.mark.parametrize("q", [1, 2])
+    def test_fused_train_step_matches_autodiff(self, packed, q):
         from cgr_mpnn_3d_tpu.models.cgr_mpnn import (
             fused_train_value_and_grad, supports_fused_train)
         from cgr_mpnn_3d_tpu.train import sse_loss
         spec, batch = packed
-        cfg_x, cfg_m = _cfgs(learnable=True)
+        cfg_x, cfg_m = _cfgs(learnable=True, q=q)
         assert supports_fused_train(cfg_m)
         params = init_params(jax.random.PRNGKey(9), cfg_x)
         params["skip_weights"] = [jnp.asarray(v) for v in (1.0, 0.4, -0.6)]
