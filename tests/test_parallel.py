@@ -74,22 +74,33 @@ class TestDataParallel:
 
 class TestEdgePartition:
     def test_shard_edges_structure(self, graphs):
-        b = shard_edges(graphs, LABELS, n_ep=4, d=8)
+        b = shard_edges(graphs, LABELS, n_ep=4)
         assert b.edge_attr.shape[0] == 4
+        NKH = b.node_x.shape[1]
         # all real edges present exactly once across shards
-        total_real = sum(int((b.senders[k] < b.node_x.shape[1]).sum())
-                         for k in range(4))
+        total_real = sum(int((b.src_idx[k] < NKH).sum()) for k in range(4))
         assert total_real == sum(g.num_edges for g in graphs)
         # rev stays shard-local and is an involution
         for k in range(4):
             EK = b.rev.shape[1]
             real = np.nonzero(b.rev[k] < EK)[0]
-            for e in real:
-                assert b.rev[k][b.rev[k][e]] == e
+            np.testing.assert_array_equal(b.rev[k][b.rev[k][real]], real)
+
+    def test_node_state_not_replicated(self, graphs):
+        """The r1 design replicated all NT nodes per shard; the r2 design
+        holds NT/n_ep owned nodes + a boundary halo only."""
+        NT = sum(g.num_nodes for g in graphs)
+        b = shard_edges(graphs, LABELS, n_ep=4)
+        NK = b.own_recv_inc.shape[1]
+        NKH = b.node_x.shape[1]
+        assert NK < NT / 2            # owned block ~ NT/4 (padded)
+        # comm buffers track the boundary, not the node count
+        T = NKH - NK
+        assert T <= 4 * 16
 
     def test_ep_forward_matches_single_device(self, graphs, cfg):
         params = init_params(jax.random.PRNGKey(0), cfg)
-        # single-device predictions
+        # single-device predictions (graph order == global graph index)
         spec = plan_spec(graphs, te=128, tn=64, tb=8).with_packs(1)
         batch = pack_graphs(graphs, LABELS, spec)
         preds_ref = np.asarray(apply(params, batch, cfg))
@@ -98,28 +109,25 @@ class TestEdgePartition:
                                 preds_ref[mask]))
 
         mesh = make_mesh(n_dp=1, n_ep=4, devices=jax.devices()[:4])
-        eb = shard_edges(graphs, LABELS, n_ep=4, d=8)
+        eb = shard_edges(graphs, LABELS, n_ep=4)
 
         from jax.sharding import PartitionSpec as P
         batch_spec = jax.tree_util.tree_map(lambda _: P("ep"),
-                                            EdgeShardedBatch(*[0] * 11))
+                                            EdgeShardedBatch(*[0] * 13))
 
         def fwd(b):
             local = jax.tree_util.tree_map(lambda v: v[0], b)
             sse, preds = ep_forward(params, local, cfg, axis="ep")
-            return jax.lax.psum(sse, "ep"), preds
+            return sse, preds  # identical on every ep member
 
         sse, preds = jax.jit(jax.shard_map(
             fwd, mesh=mesh, in_specs=(batch_spec,),
-            out_specs=(P(), P("ep")), check_vma=False))(eb)
+            out_specs=(P(), P()), check_vma=False))(eb)
 
-        preds = np.asarray(preds).reshape(4, -1)
-        for k in range(4):
-            m = np.asarray(eb.graph_mask[k]) > 0
-            for lbl, pred in zip(np.asarray(eb.labels[k])[m],
-                                 preds[k][m]):
-                np.testing.assert_allclose(pred, by_label_ref[lbl],
-                                           rtol=1e-4, atol=1e-4)
+        preds = np.asarray(preds)
+        for g, lbl in enumerate(LABELS):
+            np.testing.assert_allclose(preds[g], by_label_ref[lbl],
+                                       rtol=1e-4, atol=1e-4)
         sse_ref = sum((by_label_ref[l] - l) ** 2 for l in by_label_ref)
         np.testing.assert_allclose(float(sse), sse_ref, rtol=1e-4)
 
@@ -128,11 +136,12 @@ class TestEdgePartition:
         loss_ref, params_ref, _ = _single_device_update(graphs, cfg, params)
 
         mesh = make_mesh(n_dp=2, n_ep=4, devices=jax.devices())
-        # dp shard 0 gets first half of graphs, shard 1 the rest
-        eb0 = shard_edges(graphs[:4], LABELS[:4], n_ep=4, d=8,
-                          ek=64, nt=64, bk=2, dn=16)
-        eb1 = shard_edges(graphs[4:], LABELS[4:], n_ep=4, d=8,
-                          ek=64, nt=64, bk=2, dn=16)
+        # dp shard 0 gets first half of graphs, shard 1 the rest; padded
+        # sizes pinned so both dp groups stack to one shape
+        pins = dict(n_ep=4, d=8, d_out=8, d_recv=8, nk=16, ek=64,
+                    s_max=8, dn=16)
+        eb0 = shard_edges(graphs[:4], LABELS[:4], **pins)
+        eb1 = shard_edges(graphs[4:], LABELS[4:], **pins)
         stacked = jax.tree_util.tree_map(
             lambda a, b: np.stack([a, b], axis=0), eb0, eb1)
 
@@ -146,6 +155,23 @@ class TestEdgePartition:
                         jax.tree_util.tree_leaves(params_ref)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-6)
+
+    def test_shard_edges_vectorized_speed(self):
+        """~100k directed edges must shard in well under a second (the r1
+        per-edge Python loop took minutes at this scale)."""
+        import time
+        from cgr_mpnn_3d_tpu.data.synthetic import synthetic_graphs
+        rng = np.random.default_rng(0)
+        graphs = synthetic_graphs(2500, rng)
+        E = sum(g.num_edges for g in graphs)
+        assert E > 90_000
+        t0 = time.time()
+        b = shard_edges(graphs, [0.0] * len(graphs), n_ep=8)
+        dt = time.time() - t0
+        NKH = b.node_x.shape[1]
+        total_real = sum(int((b.src_idx[k] < NKH).sum()) for k in range(8))
+        assert total_real == E
+        assert dt < 1.0, f"shard_edges took {dt:.2f}s at {E} edges"
 
 
 class TestDataParallelFused:
@@ -197,13 +223,14 @@ class TestGiantGraph:
             np.asarray(batch.graph_mask) > 0][0]
 
         mesh = make_mesh(n_dp=1, n_ep=8, devices=jax.devices())
-        eb = shard_edges([g], [1.0], n_ep=8, d=8)
-        # each shard holds only ~1/8 of the edges
-        assert eb.edge_attr.shape[1] < g.num_edges // 4
+        eb = shard_edges([g], [1.0], n_ep=8)
+        # each shard holds only ~1/8 of the edges AND ~1/8 of the nodes
+        assert eb.edge_attr.shape[1] < g.num_edges // 3
+        assert eb.node_x.shape[1] < g.num_nodes // 2
 
         from jax.sharding import PartitionSpec as P
         bspec = jax.tree_util.tree_map(lambda _: P("ep"),
-                                       EdgeShardedBatch(*[0] * 11))
+                                       EdgeShardedBatch(*[0] * 13))
 
         def fwd(b):
             local = jax.tree_util.tree_map(lambda v: v[0], b)
@@ -211,7 +238,6 @@ class TestGiantGraph:
             return preds
 
         preds = np.asarray(jax.jit(jax.shard_map(
-            fwd, mesh=mesh, in_specs=(bspec,), out_specs=P("ep"),
-            check_vma=False))(eb)).reshape(8, -1)
-        got = preds[0][np.asarray(eb.graph_mask[0]) > 0][0]
-        np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
+            fwd, mesh=mesh, in_specs=(bspec,), out_specs=P(),
+            check_vma=False))(eb))
+        np.testing.assert_allclose(preds[0], ref, rtol=1e-3, atol=1e-3)
