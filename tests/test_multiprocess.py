@@ -1,0 +1,89 @@
+"""Real 2-process jax.distributed execution (VERDICT r1 gap #6).
+
+Two OS processes with 2 virtual CPU devices each form a 4-device global
+'dp' mesh; the shard_map'd train step's gradient psum crosses the process
+boundary (the DCN path on real pods).  Both processes must agree on the
+loss/updated parameters, and those must match single-process training on
+the same 8 graphs (tests/_multiproc_child.py).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from cgr_mpnn_3d_tpu.data import ChemDataset  # noqa: F401 (jax init order)
+from cgr_mpnn_3d_tpu.chem import RxnGraph
+from cgr_mpnn_3d_tpu.data import pack_graphs, plan_spec
+from cgr_mpnn_3d_tpu.models import CGRMPNNConfig, init_params
+from cgr_mpnn_3d_tpu.train import make_optimizer, sse_loss
+
+REPO = Path(__file__).resolve().parent.parent
+CHILD = Path(__file__).resolve().parent / "_multiproc_child.py"
+
+SMILES = ["CCO>>CC=O", "CC(=O)N>>CC(=O)N", "C=CC=C>>C=CC=C",
+          "[N:1]([H:2])([H:3])[H:4]>>[N:1]([H:2])[H:3].[H:4]",
+          "CCO>C>CCO", "O>C>CO", "N>C>CN", "CC>>CC"]
+LABELS = [float(i + 1) for i in range(len(SMILES))]
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _single_process_reference():
+    cfg = CGRMPNNConfig(num_node_features=78, num_edge_features=14,
+                        depth=2, hidden_sizes=(16, 16),
+                        dropout_ps=(0.0, 0.0))
+    graphs = [RxnGraph(s).arrays for s in SMILES]
+    spec = plan_spec(graphs, te=128, tn=64, tb=8).with_packs(1)
+    batch = pack_graphs(graphs, LABELS, spec)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(1e-3, 0.0, 1.0, 1)
+    loss, grads = jax.value_and_grad(
+        lambda p: sse_loss(p, batch, cfg, False, None))(params)
+    updates, _ = opt.update(grads, opt.init(params), params)
+    new_params = optax.apply_updates(params, updates)
+    checksum = float(sum(float(jnp.sum(jnp.abs(leaf)))
+                         for leaf in jax.tree_util.tree_leaves(new_params)))
+    return float(loss), checksum
+
+
+def test_two_process_distributed_training():
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [subprocess.Popen(
+        [sys.executable, str(CHILD), str(i), str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=str(REPO), env=env) for i in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"child failed:\n{out}\n{err}"
+        outs.append(out)
+
+    def parse(out, key):
+        line = next(ln for ln in out.splitlines() if ln.startswith(key))
+        return line.split()[1]
+
+    losses = [float(parse(o, "LOSS")) for o in outs]
+    checks = [float(parse(o, "CHECKSUM")) for o in outs]
+    primaries = [parse(o, "PRIMARY") for o in outs]
+    # both processes agree bit-for-bit on the psum'd loss and update
+    assert losses[0] == losses[1]
+    assert checks[0] == checks[1]
+    assert sorted(primaries) == ["False", "True"]
+    # and they match single-process training on the concatenated batch
+    loss_ref, check_ref = _single_process_reference()
+    np.testing.assert_allclose(losses[0], loss_ref, rtol=1e-5)
+    np.testing.assert_allclose(checks[0], check_ref, rtol=1e-5)
