@@ -2,12 +2,13 @@
 hyperparameter_tuning.py:8-101, wandb_evaluator.py:5-75,
 hyperparameter_study/sweep_config.json).
 
-The reference delegates search to wandb's bayes sweeps; this driver runs a
-local random/grid search over the same JSON search-space format (values /
-log_uniform_values / uniform distributions), executes ``train()`` per trial,
-records every trial to a JSONL study file, and the evaluator ranks trials by
-validation loss — no SaaS dependency (wandb still attaches per-run when
-``--use_logger`` is passed through).
+The reference delegates search to wandb's **bayes** sweeps
+(sweep_config.json:2); this driver runs the same JSON search-space format
+(values / log_uniform_values / uniform) locally with either random sampling
+or a TPE (Tree-structured Parzen Estimator) Bayesian sampler — the sweep
+config's method key selects, matching wandb's semantics.  Every trial
+appends to a JSONL study file; the evaluator ranks by validation loss.  No
+SaaS dependency (wandb still attaches per-run via ``--use_logger``).
 """
 
 from __future__ import annotations
@@ -19,7 +20,8 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["sample_config", "run_sweep", "evaluate_sweep"]
+__all__ = ["sample_config", "TPESampler", "run_sweep",
+           "evaluate_sweep"]
 
 
 def sample_config(space: dict, rng: np.random.Generator) -> dict:
@@ -40,13 +42,112 @@ def sample_config(space: dict, rng: np.random.Generator) -> dict:
     return out
 
 
+class TPESampler:
+    """Tree-structured Parzen Estimator over a sweep_config space.
+
+    After ``n_startup`` random trials, observed configs split into the top
+    ``gamma`` fraction ("good") and the rest by loss; proposals are drawn
+    from a Parzen mixture over the good observations and scored by the
+    density ratio l(x)/g(x) — the argmax of ``n_candidates`` draws wins.
+    Categorical parameters use smoothed category counts.  Continuous
+    parameters model in the transformed (log for log_uniform) space.
+    Replaces the reference's wandb bayes method without the SaaS."""
+
+    def __init__(self, space: dict, seed: int = 0, n_startup: int = 12,
+                 gamma: float = 0.15, n_candidates: int = 48,
+                 explore: float = 0.2):
+        self.space = space
+        self.rng = np.random.default_rng(seed)
+        self.n_startup = n_startup
+        self.gamma = gamma
+        self.n_candidates = n_candidates
+        self.explore = explore      # epsilon of pure-random proposals:
+                                    # prevents early categorical lock-in
+        self._obs: list[tuple[dict, float]] = []
+
+    def tell(self, config: dict, loss: float) -> None:
+        if loss is not None and np.isfinite(loss):
+            self._obs.append((config, float(loss)))
+
+    # -- proposal ----------------------------------------------------------
+    def ask(self) -> dict:
+        if len(self._obs) < self.n_startup \
+                or self.rng.random() < self.explore:
+            return sample_config(self.space, self.rng)
+        order = sorted(self._obs, key=lambda t: t[1])
+        n_good = max(1, int(np.ceil(self.gamma * len(order))))
+        good = [c for c, _ in order[:n_good]]
+        bad = [c for c, _ in order[n_good:]] or good
+        # canonical TPE: draw FULL candidate configs from l(x) and keep the
+        # argmax of the joint log ratio sum_dim log l_d - log g_d (per-dim
+        # argmaxing instead would over-exploit and lock in early luck)
+        dims = {name: self._dim_model(name, spec, good, bad)
+                for name, spec in self.space.items()}
+        best_cfg, best_score = None, -np.inf
+        for _ in range(self.n_candidates):
+            cfg, score = {}, 0.0
+            for name, (draw, log_ratio) in dims.items():
+                cfg[name] = draw()
+                score += log_ratio(cfg[name])
+            if score > best_score:
+                best_cfg, best_score = cfg, score
+        return best_cfg
+
+    def _dim_model(self, name, spec, good, bad):
+        """-> (draw_from_l, log_ratio) for one parameter."""
+        if "value" in spec:
+            return (lambda: spec["value"]), (lambda v: 0.0)
+
+        if "values" in spec:
+            vals = spec["values"]
+            keys = [repr(v) for v in vals]
+            cg = np.ones(len(vals))
+            cb = np.ones(len(vals))
+            for c in good:
+                cg[keys.index(repr(c[name]))] += 1
+            for c in bad:
+                cb[keys.index(repr(c[name]))] += 1
+            log_r = np.log(cg / cg.sum()) - np.log(cb / cb.sum())
+            # uniform-prior mixing keeps every category reachable
+            p = 0.75 * cg / cg.sum() + 0.25 / len(vals)
+            draw = lambda: vals[int(self.rng.choice(len(vals), p=p))]
+            return draw, lambda v: float(log_r[keys.index(repr(v))])
+
+        logspace = spec.get("distribution") == "log_uniform_values"
+        tf = (lambda v: float(np.log(v))) if logspace else float
+        lo, hi = tf(spec["min"]), tf(spec["max"])
+        og = np.asarray([tf(c[name]) for c in good], float)
+        ob = np.asarray([tf(c[name]) for c in bad], float)
+        # Parzen bandwidth (Scott-style, floored to 1/20 of the range)
+        bw = max((hi - lo) / 20.0,
+                 (hi - lo) * 1.06 * max(len(og), 1) ** -0.2 / 4)
+
+        def mix_logpdf(x, centers):
+            d = (x - centers) / bw
+            return float(np.log(np.mean(np.exp(-0.5 * d * d)) + 1e-300))
+
+        def draw():
+            c = og[int(self.rng.integers(0, len(og)))]
+            x = float(np.clip(c + self.rng.normal(0.0, bw), lo, hi))
+            return float(np.exp(x)) if logspace else x
+
+        return draw, lambda v: (mix_logpdf(tf(v), og)
+                                - mix_logpdf(tf(v), ob))
+
+
 def run_sweep(sweep_config: dict, count: int, study_path: str | Path,
               seed: int = 0, train_fn=None) -> list[dict]:
     """Run ``count`` trials; append one JSON line per trial to
-    ``study_path``.  ``train_fn(config) -> result dict`` defaults to the real
-    training entry (cli/train.py)."""
+    ``study_path``.  ``sweep_config['method']`` picks the sampler ('bayes'
+    -> TPE, the reference's method; 'random' -> iid draws).
+    ``train_fn(config) -> result dict`` defaults to the real training entry
+    (cli/train.py)."""
     space = sweep_config["parameters"]
+    method = sweep_config.get("method", "random")
+    if method not in ("bayes", "random"):
+        raise ValueError(f"unsupported sweep method {method!r}")
     rng = np.random.default_rng(seed)
+    sampler = TPESampler(space, seed=seed) if method == "bayes" else None
     study_path = Path(study_path)
     study_path.parent.mkdir(parents=True, exist_ok=True)
 
@@ -55,15 +156,17 @@ def run_sweep(sweep_config: dict, count: int, study_path: str | Path,
 
     results = []
     for trial in range(count):
-        config = sample_config(space, rng)
+        config = sampler.ask() if sampler else sample_config(space, rng)
         run_id = f"t{trial:03d}_{int(time.time())}"
-        print(f"=== sweep trial {trial + 1}/{count}: {config}")
+        print(f"=== sweep trial {trial + 1}/{count} [{method}]: {config}")
         try:
             metrics = train_fn(config)
             status = "ok"
         except Exception as e:  # record and continue, like wandb agents
             metrics = {"error": str(e)}
             status = "failed"
+        if sampler:
+            sampler.tell(config, metrics.get("val_loss", float("inf")))
         rec = {"run_id": run_id, "status": status, "config": config,
                **{k: v for k, v in metrics.items()
                   if isinstance(v, (int, float, str, list))}}

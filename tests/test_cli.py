@@ -329,3 +329,61 @@ class TestSweepRealTrainer:
         out = run_sweep(space, 1, tmp_path / "study.jsonl")
         assert out[0]["status"] == "ok"
         assert np.isfinite(out[0]["val_loss"])
+
+
+class TestTPESweep:
+    SPACE = {
+        "lr": {"distribution": "log_uniform_values",
+               "min": 1e-5, "max": 1e-1},
+        "depth": {"values": [2, 3, 4, 5, 6]},
+        "gamma": {"distribution": "uniform", "min": 0.5, "max": 1.0},
+        "name": {"value": "CGR"},
+    }
+
+    @staticmethod
+    def _surface(c):
+        # narrow optimum at lr=1e-3, depth=4, gamma=0.9 — wide-basin
+        # surfaces are too easy for best-of-N random draws to show a gap
+        return (4.0 * (np.log10(c["lr"]) + 3.0) ** 2
+                + (c["depth"] - 4) ** 2
+                + 8.0 * (c["gamma"] - 0.9) ** 2)
+
+    def test_tpe_beats_random_on_synthetic_surface(self, tmp_path):
+        """The restored bayes-class search (VERDICT r1 #7): on a narrow
+        response surface TPE's best-of-60 beats random's best-of-60 on
+        average over seeds (deterministic given the seeds)."""
+        from cgr_mpnn_3d_tpu.cli.sweep import run_sweep
+
+        def train_fn(config):
+            return {"val_loss": self._surface(config)}
+
+        bests = {"bayes": [], "random": []}
+        for seed in range(5):
+            for method in bests:
+                out = run_sweep({"method": method, "parameters": self.SPACE},
+                                60, tmp_path / f"{method}_{seed}.jsonl",
+                                seed=seed, train_fn=train_fn)
+                bests[method].append(min(r["val_loss"] for r in out))
+        assert np.mean(bests["bayes"]) < np.mean(bests["random"]), bests
+
+    def test_tpe_concentrates_near_optimum(self, tmp_path):
+        from cgr_mpnn_3d_tpu.cli.sweep import TPESampler
+        sampler = TPESampler(self.SPACE, seed=0, n_startup=8, explore=0.0)
+        for _ in range(60):
+            c = sampler.ask()
+            sampler.tell(c, self._surface(c))
+        late = [sampler.ask() for _ in range(10)]
+        lrs = np.log10([c["lr"] for c in late])
+        assert abs(np.median(lrs) + 3.0) < 0.75       # near lr=1e-3
+        assert np.median([c["depth"] for c in late]) == 4
+        assert all(c["name"] == "CGR" for c in late)
+
+    def test_unknown_method_rejected(self, tmp_path):
+        from cgr_mpnn_3d_tpu.cli.sweep import run_sweep
+        with pytest.raises(ValueError, match="grid"):
+            run_sweep({"method": "grid", "parameters": {}}, 1,
+                      tmp_path / "s.jsonl", train_fn=lambda c: {})
+
+    def test_shipped_config_is_bayes(self):
+        cfgp = REPO / "hyperparameter_study" / "sweep_config.json"
+        assert json.load(open(cfgp))["method"] == "bayes"
