@@ -387,3 +387,39 @@ class TestTPESweep:
     def test_shipped_config_is_bayes(self):
         cfgp = REPO / "hyperparameter_study" / "sweep_config.json"
         assert json.load(open(cfgp))["method"] == "bayes"
+
+
+class TestRunbook:
+    def test_runbook_demo_end_to_end(self, datasets, tmp_path, monkeypatch):
+        """The one-command T1x run-book (VERDICT r1 #8) drives preprocess ->
+        train -> eval -> gate on the demo set (gates overridden: demo labels
+        cannot reach the real 9.22/5.21 without the full dataset)."""
+        from cgr_mpnn_3d_tpu.cli.runbook import main
+        monkeypatch.chdir(tmp_path)
+        summary_path = tmp_path / "summary.json"
+        main(["--data_path", str(datasets),
+              "--save_path", str(tmp_path / "saved"),
+              "--summary", str(summary_path),
+              "--epochs", "2", "--depth", "2", "--hidden", "16",
+              "--compute_dtype", "float32",
+              "--gate_cgr", "1000", "--gate_3d", "1000"])
+        s = json.load(open(summary_path))
+        assert s["all_passed"] is True
+        assert set(s["gates"]) == {"CGR", "CGR-MPNN-3D"}
+        for g in s["gates"].values():
+            assert g["passed"] and g["test_rmse_kcal_mol"] < 1000
+
+    def test_runbook_gate_failure_exits_nonzero(self, datasets, tmp_path,
+                                                monkeypatch):
+        from cgr_mpnn_3d_tpu.cli.runbook import main
+        monkeypatch.chdir(tmp_path)
+        with pytest.raises(SystemExit) as e:
+            main(["--data_path", str(datasets),
+                  "--save_path", str(tmp_path / "saved"),
+                  "--summary", str(tmp_path / "s.json"),
+                  "--epochs", "1", "--depth", "2", "--hidden", "16",
+                  "--compute_dtype", "float32", "--skip_3d",
+                  "--gate_cgr", "0.0001"])
+        assert e.value.code == 1
+        s = json.load(open(tmp_path / "s.json"))
+        assert s["all_passed"] is False
