@@ -82,6 +82,8 @@ class EdgeShardedBatch(NamedTuple):
     graph_nodes: np.ndarray   # [n_ep, B, DN]   owned node pos per graph
                               #                 (sentinel NK)
     node_graph: np.ndarray    # [n_ep, NK]      graph of owned node (sent B)
+    inv_deg_own: np.ndarray   # [n_ep, NK]      1/in-degree of owned nodes
+                              #                 (0 for isolated/pad; mean aggr)
     labels: np.ndarray        # [n_ep, B]       identical copies
     graph_mask: np.ndarray    # [n_ep, B]
 
@@ -329,13 +331,20 @@ def shard_edges(graphs: Sequence[GraphArrays], labels: Sequence[float],
         graph_nodes[k] = _ell_pack(graph_of[sel], n_pos[sel],
                                    n_graphs, DN, NK, "graph_nodes")
 
+    # global in-degree -> per-owner inverse (aggr='mean' normalization)
+    deg = np.bincount(recv_g, minlength=NT).astype(np.float64)
+    inv_deg_own = np.zeros((n_ep, NK), np.float32)
+    nz = deg > 0
+    inv_deg_own[n_owner[nz], n_pos[nz]] = (1.0 / deg[nz]).astype(np.float32)
+
     labels_out = np.broadcast_to(
         np.asarray(labels, np.float32), (n_ep, n_graphs)).copy()
     graph_mask = np.ones((n_ep, n_graphs), np.float32)
 
     return EdgeShardedBatch(node_x, edge_attr, src_idx, rev, dst_part,
                             part_inc, ext_out, recv_idx, own_recv_inc,
-                            graph_nodes, node_graph, labels_out, graph_mask)
+                            graph_nodes, node_graph, inv_deg_own,
+                            labels_out, graph_mask)
 
 
 def _linear(p, x, dtype):
@@ -360,11 +369,12 @@ def ep_forward(params: dict, b: EdgeShardedBatch, cfg: CGRMPNNConfig,
     Returns (full-batch sse — identical on every 'ep' member, so psum over
     'ep' must divide by n_ep — and per-graph predictions [B]).
     """
-    if cfg.aggr != "add":
-        raise ValueError(
-            f"edge-partitioned forward implements aggr='add' only, got "
-            f"{cfg.aggr!r} (mean normalization would need a global-degree "
-            f"exchange; use the single-device model)")
+    if cfg.aggr not in ("add", "mean"):
+        raise ValueError(f"unsupported aggr {cfg.aggr!r}")
+    # mean: in-degrees are static per batch, so the normalization is a
+    # host-precomputed per-owned-node scale applied BEFORE the halo pull —
+    # no extra exchange needed
+    mean_scale = b.inv_deg_own[:, None] if cfg.aggr == "mean" else None
     act = ACTIVATIONS[cfg.activation]
     dt = cfg.compute_dtype
     n_ep = jax.lax.axis_size(axis)
@@ -400,7 +410,10 @@ def ep_forward(params: dict, b: EdgeShardedBatch, cfg: CGRMPNNConfig,
                      jnp.concatenate([x_src, b.edge_attr], 1), dt))
     h = h0
     for l in range(cfg.depth):
-        a_ext = halo(incoming_owned(h))                         # [NKH, H]
+        a_own = incoming_owned(h)
+        if mean_scale is not None:
+            a_own = a_own * mean_scale
+        a_ext = halo(a_own)                                     # [NKH, H]
         t = gather_nodes(a_ext, b.src_idx, b.ext_out) \
             - gather_rev(h, b.rev)
         h_new = _linear(params["convs"][l], t, dt)
@@ -415,6 +428,8 @@ def ep_forward(params: dict, b: EdgeShardedBatch, cfg: CGRMPNNConfig,
             h = jnp.where(mask, h / keep, 0.0)
 
     s_own = incoming_owned(h)                                   # [NK, H]
+    if mean_scale is not None:
+        s_own = s_own * mean_scale
     x_own = b.node_x[:NK]
     hn = act(_linear(params["edge_to_node"],
                      jnp.concatenate([x_own, s_own], 1), dt))
@@ -458,7 +473,7 @@ def make_ep_train_step(optimizer: optax.GradientTransformation,
         return TrainState(params, opt_state, state.step + 1, rng), loss
 
     batch_spec = jax.tree_util.tree_map(
-        lambda _: P("dp", "ep"), EdgeShardedBatch(*[0] * 13))
+        lambda _: P("dp", "ep"), EdgeShardedBatch(*[0] * 14))
     smapped = jax.shard_map(per_device, mesh=mesh,
                             in_specs=(P(), batch_spec),
                             out_specs=(P(), P()), check_vma=False)

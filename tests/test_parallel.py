@@ -113,7 +113,7 @@ class TestEdgePartition:
 
         from jax.sharding import PartitionSpec as P
         batch_spec = jax.tree_util.tree_map(lambda _: P("ep"),
-                                            EdgeShardedBatch(*[0] * 13))
+                                            EdgeShardedBatch(*[0] * 14))
 
         def fwd(b):
             local = jax.tree_util.tree_map(lambda v: v[0], b)
@@ -230,7 +230,7 @@ class TestGiantGraph:
 
         from jax.sharding import PartitionSpec as P
         bspec = jax.tree_util.tree_map(lambda _: P("ep"),
-                                       EdgeShardedBatch(*[0] * 13))
+                                       EdgeShardedBatch(*[0] * 14))
 
         def fwd(b):
             local = jax.tree_util.tree_map(lambda v: v[0], b)
@@ -241,3 +241,36 @@ class TestGiantGraph:
             fwd, mesh=mesh, in_specs=(bspec,), out_specs=P(),
             check_vma=False))(eb))
         np.testing.assert_allclose(preds[0], ref, rtol=1e-3, atol=1e-3)
+
+
+class TestEdgePartitionMean:
+    def test_ep_mean_aggr_matches_single_device(self, graphs):
+        """aggr='mean' on the EP path (r2: in-degrees are static per batch,
+        so the normalization is a host-precomputed owned-node scale)."""
+        cfg = CGRMPNNConfig(num_node_features=78, num_edge_features=14,
+                            depth=2, hidden_sizes=(16, 16),
+                            dropout_ps=(0.0, 0.0), aggr="mean")
+        params = init_params(jax.random.PRNGKey(3), cfg)
+        spec = plan_spec(graphs, te=128, tn=64, tb=8).with_packs(1)
+        batch = pack_graphs(graphs, LABELS, spec)
+        preds_ref = np.asarray(apply(params, batch, cfg))
+        mask = np.asarray(batch.graph_mask) > 0
+        by_label = dict(zip(np.asarray(batch.labels)[mask], preds_ref[mask]))
+
+        mesh = make_mesh(n_dp=1, n_ep=4, devices=jax.devices()[:4])
+        eb = shard_edges(graphs, LABELS, n_ep=4)
+        from jax.sharding import PartitionSpec as P
+        bspec = jax.tree_util.tree_map(lambda _: P("ep"),
+                                       EdgeShardedBatch(*[0] * 14))
+
+        def fwd(b):
+            local = jax.tree_util.tree_map(lambda v: v[0], b)
+            _, preds = ep_forward(params, local, cfg, axis="ep")
+            return preds
+
+        preds = np.asarray(jax.jit(jax.shard_map(
+            fwd, mesh=mesh, in_specs=(bspec,), out_specs=P(),
+            check_vma=False))(eb))
+        for g, lbl in enumerate(LABELS):
+            np.testing.assert_allclose(preds[g], by_label[lbl],
+                                       rtol=1e-4, atol=1e-4)
