@@ -64,6 +64,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--num_workers", default=None, type=int,
                     help="featurization threads (reference trainer.py:99 "
                          "default: half the CPUs)")
+    ap.add_argument("--dp", default=1, type=int,
+                    help="data-parallel devices: each processes "
+                         "batch_size/dp graphs per step, gradients psum "
+                         "over the mesh (ICI on a slice, DCN across hosts "
+                         "with jax.distributed)")
     ap.add_argument("--steps_per_call", default=1, type=int,
                     help="train steps per device dispatch (lax.scan); >1 "
                          "amortizes host round-trip latency BUT coarsens "
@@ -150,7 +155,8 @@ def train(args) -> dict:
         gamma=args.gamma, num_epochs=args.num_epochs,
         batch_size=args.batch_size, val_frequency=args.val_frequency,
         model_save_dir=args.save_path, seed=args.seed, logger=logger,
-        resume_from=args.resume, steps_per_call=args.steps_per_call)
+        resume_from=args.resume, steps_per_call=args.steps_per_call,
+        n_dp=args.dp)
     return trainer.train()
 
 

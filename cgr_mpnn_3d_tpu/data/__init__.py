@@ -1,8 +1,10 @@
 """Data pipeline: dataset, static-shape packing, loaders."""
 
-from .batch import PackedGraphBatch, PackSpec, pack_graphs, packs_needed, plan_spec
+from .batch import (PackedGraphBatch, PackSpec, empty_batch,
+                    pack_graphs, packs_needed, plan_spec)
 from .dataset import ChemDataset
 from .loader import PackedLoader
 
-__all__ = ["PackedGraphBatch", "PackSpec", "pack_graphs", "packs_needed",
+__all__ = ["PackedGraphBatch", "PackSpec", "empty_batch",
+           "pack_graphs", "packs_needed",
            "plan_spec", "ChemDataset", "PackedLoader"]

@@ -238,6 +238,30 @@ def pack_graphs(graphs: Sequence[GraphArrays],
                             graph_mask, row_ids_out)
 
 
+def empty_batch(spec: PackSpec, n_feat: int, e_feat: int
+                ) -> PackedGraphBatch:
+    """An all-padding batch (graph_mask 0 everywhere): the filler for
+    data-parallel step groups whose last group is short of devices."""
+    ET, NT, BT = spec.total_edges, spec.total_nodes, spec.total_graphs
+    fdt = np.dtype(spec.feat_dtype)
+    return PackedGraphBatch(
+        node_x=np.zeros((NT, n_feat), fdt),
+        edge_attr=np.zeros((ET, e_feat), fdt),
+        senders=np.full(ET, NT, np.int32),
+        receivers=np.full(ET, NT, np.int32),
+        rev=np.full(ET, ET, np.int32),
+        edge_nbr=np.full((ET, spec.d), ET, np.int32),
+        edge_nbr_rev=np.full((ET, spec.d), ET, np.int32),
+        node_inc=np.full((NT, spec.d), ET, np.int32),
+        node_out=np.full((NT, spec.d), ET, np.int32),
+        graph_of_node=np.full(NT, BT, np.int32),
+        graph_nodes=np.full((BT, spec.dn), NT, np.int32),
+        labels=np.zeros(BT, np.float32),
+        graph_mask=np.zeros(BT, np.float32),
+        row_ids=np.full(BT, -1, np.int32),
+    )
+
+
 def packs_needed(graphs: Sequence[GraphArrays], spec: PackSpec,
                  fill_target: float = 0.9) -> int:
     """Lower-bound pack count for a set of graphs (first-fit headroom)."""

@@ -45,7 +45,8 @@ def shard_stacked_batch(stacked: PackedGraphBatch, mesh: Mesh
 def make_dp_train_step(optimizer: optax.GradientTransformation,
                        cfg: CGRMPNNConfig, mesh: Mesh,
                        spec: PackSpec | None = None):
-    """Returns jitted ``step(state, stacked_batch) -> (state, sum_loss)``.
+    """Returns jitted ``step(state, stacked_batch) -> (state, sum_loss,
+    grad_norm)``.
 
     ``stacked_batch`` leaves have leading axis n_dp*n_ep (both mesh axes are
     used as flat data parallelism here; use edge_partition for genuine ep).
@@ -74,18 +75,20 @@ def make_dp_train_step(optimizer: optax.GradientTransformation,
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
         loss = jax.lax.psum(loss, axes)
         grads = jax.lax.psum(grads, axes)
+        gnorm = optax.global_norm(grads)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
         new_rng, _ = jax.random.split(state.rng)
-        return TrainState(params, opt_state, state.step + 1, new_rng), loss
+        return (TrainState(params, opt_state, state.step + 1, new_rng),
+                loss, gnorm)
 
     batch_spec = jax.tree_util.tree_map(
         lambda _: P(("dp", "ep")), PackedGraphBatch(*[0] * 14))
     smapped = jax.shard_map(
         per_device, mesh=mesh,
         in_specs=(P(), batch_spec),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P()),
         check_vma=False,
     )
     return jax.jit(smapped, donate_argnums=(0,))

@@ -120,15 +120,27 @@ class RxnGraphTrainer:
     # batches executed per device dispatch (lax.scan): amortizes host
     # round-trip latency; >1 coarsens the NaN-guard rollback to chunk level
     steps_per_call: int = 1
+    # data parallelism across local devices: each of n_dp devices processes
+    # batch_size/n_dp graphs per step; gradients psum (parallel/
+    # data_parallel.py).  Forces steps_per_call=1.
+    n_dp: int = 1
 
     def __post_init__(self):
         q = max(1, self.cfg.pallas_sub_packs)
+        self.n_dp = max(1, self.n_dp)
+        if self.n_dp > 1:
+            if len(jax.devices()) < self.n_dp:
+                raise ValueError(f"n_dp={self.n_dp} > "
+                                 f"{len(jax.devices())} devices")
+            if self.steps_per_call > 1:
+                raise ValueError("steps_per_call > 1 is single-device only")
+        per_dev_bs = -(-self.batch_size // self.n_dp)
         self.train_loader = PackedLoader(self.train_data, self.spec,
-                                         batch_size=self.batch_size,
+                                         batch_size=per_dev_bs,
                                          shuffle=True, seed=self.seed,
                                          round_packs_to=q)
         self.val_loader = PackedLoader(self.val_data, self.spec,
-                                       batch_size=self.batch_size,
+                                       batch_size=per_dev_bs,
                                        shuffle=False, round_packs_to=q)
         steps_per_epoch = len(self.train_loader)
         self.optimizer = make_optimizer(self.lr, self.weight_decay,
@@ -149,6 +161,22 @@ class RxnGraphTrainer:
         optimizer = self.optimizer
         # the loader fixes the pack count; the model needs it for Pallas
         step_spec = self.train_loader.spec
+
+        if self.n_dp > 1:
+            from ..parallel import (make_dp_eval_step, make_dp_train_step,
+                                    make_mesh)
+            mesh = make_mesh(n_dp=self.n_dp, n_ep=1,
+                             devices=jax.devices()[:self.n_dp])
+            self._mesh = mesh
+            dp_step = make_dp_train_step(optimizer, cfg, mesh,
+                                         spec=step_spec)
+            dp_eval = make_dp_eval_step(cfg, mesh, spec=step_spec)
+            self._train_step = dp_step
+            self._train_chunk = None
+            self._eval_step = lambda params, stacked: (dp_eval(params,
+                                                               stacked),
+                                                       None)
+            return
 
         use_fused_train = supports_fused_train(cfg)
 
@@ -215,6 +243,23 @@ class RxnGraphTrainer:
         self.start_epoch = int(meta.get("epoch", -1)) + 1
 
     # -- epochs -----------------------------------------------------------
+    def _dp_group(self, it, spec):
+        """Group per-device batches into stacked n_dp-step batches; a short
+        final group pads with all-masked empty batches."""
+        from ..data.batch import empty_batch
+        from ..parallel import stack_batches
+        group = []
+        for b in it:
+            group.append(b)
+            if len(group) == self.n_dp:
+                yield stack_batches(group)
+                group = []
+        if group:
+            filler = empty_batch(spec, self.train_data.num_node_features,
+                                 self.train_data.num_edge_features)
+            group += [filler] * (self.n_dp - len(group))
+            yield stack_batches(group)
+
     def _train_epoch(self, epoch_idx: int) -> float:
         state = self.state
         total = 0.0
@@ -227,8 +272,11 @@ class RxnGraphTrainer:
         def batch_stream():
             """Yield (stacked_chunk_or_batch, n_steps, sum_loss_fn)."""
             K = max(1, self.steps_per_call)
+            src = self.train_loader.prefetch()
+            if self.n_dp > 1:
+                src = self._dp_group(src, self.train_loader.spec)
             pend: list[PackedGraphBatch] = []
-            for b in self.train_loader.prefetch():
+            for b in src:
                 if K == 1:
                     yield b, 1
                     continue
@@ -280,7 +328,10 @@ class RxnGraphTrainer:
 
     def _val_epoch(self, epoch_idx: int) -> float:
         total = 0.0
-        for batch in self.val_loader.prefetch():
+        batches = self.val_loader.prefetch()
+        if self.n_dp > 1:
+            batches = self._dp_group(batches, self.val_loader.spec)
+        for batch in batches:
             sse, _ = self._eval_step(self.state.params, batch)
             total += float(sse)
         rmse = float(np.sqrt(total / len(self.val_data)))

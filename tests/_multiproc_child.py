@@ -73,7 +73,7 @@ def main():
     state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32),
                        jax.random.PRNGKey(1))
     step = make_dp_train_step(opt, cfg, mesh)
-    new_state, loss = step(state, global_batch)
+    new_state, loss, _gnorm = step(state, global_batch)
     jax.block_until_ready(loss)
 
     checksum = float(sum(float(jnp.sum(jnp.abs(leaf)))

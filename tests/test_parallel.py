@@ -64,7 +64,8 @@ class TestDataParallel:
         step = make_dp_train_step(opt, cfg_nodrop, mesh)
         state = TrainState(params, opt.init(params),
                            jnp.zeros((), jnp.int32), jax.random.PRNGKey(1))
-        new_state, loss = step(state, stacked)
+        new_state, loss, gnorm = step(state, stacked)
+        assert float(gnorm) > 0
         np.testing.assert_allclose(float(loss), loss_ref, rtol=1e-5)
         for a, b in zip(jax.tree_util.tree_leaves(new_state.params),
                         jax.tree_util.tree_leaves(params_ref)):
@@ -194,7 +195,7 @@ class TestDataParallelFused:
         step = make_dp_train_step(opt, cfg_p, mesh, spec=spec)
         state = TrainState(params, opt.init(params),
                            jnp.zeros((), jnp.int32), jax.random.PRNGKey(1))
-        new_state, loss = step(state, stacked)
+        new_state, loss, _ = step(state, stacked)
         np.testing.assert_allclose(float(loss), loss_ref, rtol=1e-4)
         for a, b in zip(jax.tree_util.tree_leaves(new_state.params),
                         jax.tree_util.tree_leaves(params_ref)):

@@ -189,3 +189,42 @@ class TestStepsPerCall:
                         jax.tree_util.tree_leaves(tr2.state.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-7)
+
+
+class TestDataParallelTrainer:
+    def test_trainer_dp2_loss_matches_single_device(self, demo_ds, spec,
+                                                    tmp_path):
+        """--dp 2: same graphs per optimizer step (2 devices x bs/2), so
+        epoch losses match single-device training up to packing-order
+        float noise."""
+        tr1 = _mk_trainer(demo_ds, spec, tmp_path, num_epochs=3,
+                          batch_size=10, model_save_dir=str(tmp_path / "a"))
+        out1 = tr1.train()
+        tr2 = _mk_trainer(demo_ds, spec, tmp_path, num_epochs=3,
+                          batch_size=10, n_dp=2,
+                          model_save_dir=str(tmp_path / "b"))
+        out2 = tr2.train()
+        np.testing.assert_allclose(out2["train_losses"],
+                                   out1["train_losses"], rtol=1e-3)
+        np.testing.assert_allclose(out2["val_losses"], out1["val_losses"],
+                                   rtol=1e-3)
+
+    def test_trainer_dp_rejects_bad_config(self, demo_ds, spec, tmp_path):
+        with pytest.raises(ValueError, match="single-device"):
+            _mk_trainer(demo_ds, spec, tmp_path, n_dp=2, steps_per_call=4)
+        with pytest.raises(ValueError, match="devices"):
+            _mk_trainer(demo_ds, spec, tmp_path, n_dp=99)
+
+    def test_cli_dp_flag(self, tmp_path, monkeypatch):
+        import shutil
+        from cgr_mpnn_3d_tpu.cli.train import main
+        d = tmp_path / "datasets"
+        d.mkdir()
+        for split in ("train", "val"):
+            shutil.copy(DEMO, d / f"{split}.csv")
+        monkeypatch.chdir(tmp_path)
+        main(["--name", "CGR", "-d", "2", "--hidden_sizes", "16",
+              "--dropout_ps", "0.0", "-ne", "1", "-bs", "8", "--dp", "2",
+              "--data_path", str(d), "--save_path", str(tmp_path / "s"),
+              "--skip_test", "--val_frequency", "1"])
+        assert list((tmp_path / "s").glob("CGR*.npz"))
