@@ -160,3 +160,34 @@ def test_goldens_regenerate_bit_identical(tmp_path):
                 assert list(a[k]) == list(b[k]), k
             else:
                 np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+@pytest.mark.skipif(not GOLDENS.exists(), reason="goldens not vendored")
+class TestPallasVsReferenceGoldens:
+    """The Pallas kernel path (interpret mode on CPU) checked DIRECTLY
+    against the reference's activations — not just against the XLA path —
+    for every ReLU/add golden case (the kernels' supported config)."""
+
+    @pytest.mark.parametrize("case", [
+        "synth_defaults_relu", "synth_flagship_d4", "demo_flagship",
+        "demo_defaults", "demo_3d_skip"])
+    def test_pallas_predictions_match_reference(self, case):
+        from dataclasses import replace
+        with np.load(GOLDENS, allow_pickle=True) as z:
+            params, graphs, cfg, gold = _rebuild(z, case)
+        cfg = replace(cfg, use_pallas=True, pallas_interpret=True)
+        # Pallas tiles need 128-multiple edge slots / 8-multiple rows
+        E = sum(g.num_edges for g in graphs)
+        N = sum(g.num_nodes for g in graphs)
+        deg = max(int(np.bincount(g.receivers).max()) for g in graphs
+                  if g.num_edges)
+        dn = max(g.num_nodes for g in graphs)
+        r = lambda v, m: -(-v // m) * m
+        spec = PackSpec(te=r(E + 2, 128), tn=r(N + 2, 8),
+                        tb=r(len(graphs) + 1, 8), d=deg + 1, dn=dn, p=1)
+        batch = pack_graphs(graphs, [0.0] * len(graphs), spec)
+        out = np.asarray(apply(params, batch, cfg, spec))
+        B = len(graphs)
+        np.testing.assert_allclose(out[:B], gold["preds"], rtol=2e-4,
+                                   atol=2e-4,
+                                   err_msg=f"{case}: Pallas vs reference")
