@@ -61,30 +61,52 @@ def atom_map_order(reactant_smiles: str) -> np.ndarray:
     return ridx
 
 
-def process_xyz_to_npz(csv_file: str | Path, xyz_file: str | Path,
-                       npz_file: str | Path, model: str = "small",
-                       device: str = "cpu") -> None:
-    """Reference C12 pipeline (dpd.py:103-142): MACE descriptors for each
-    reaction's [reactant, transition-state, product] xyz triplet, reordered
-    by atom map, concatenated along features, saved as arr_i per csv row."""
+def _mace_descriptor_fn(model: str, device: str):
+    """Default per-structure descriptor backend: the pretrained MACE-MP
+    force field (frozen external featurizer, dpd.py:118-126)."""
     try:
-        import ase.io
+        from ase import Atoms
         from mace.calculators import mace_mp
     except ImportError as e:
         raise ImportError(
-            "MACE descriptor extraction needs the optional 'mace-torch' and "
-            "'ase' packages (run offline on a host with them installed, or "
-            "pass a precomputed npz via --data_path_npz / "
+            "MACE descriptor extraction needs the optional 'mace-torch' "
+            "package (run offline on a host with it installed, or pass a "
+            "precomputed npz via --data_path_npz / "
             "synthetic_descriptors_npz for testing)") from e
+    calc = mace_mp(model=model, device=device)
 
+    def fn(symbols: list[str], positions: np.ndarray) -> np.ndarray:
+        return np.asarray(calc.get_descriptors(
+            Atoms(symbols=symbols, positions=positions)))
+    return fn
+
+
+def process_xyz_to_npz(csv_file: str | Path, xyz_file: str | Path,
+                       npz_file: str | Path, model: str = "small",
+                       device: str = "cpu",
+                       descriptor_fn=None) -> None:
+    """Reference C12 pipeline (dpd.py:103-142): per-atom descriptors for
+    each reaction's [reactant, transition-state, product] xyz triplet,
+    reordered into SMILES atom-map order, concatenated [r||ts||p] along
+    features, saved as arr_i per csv row.
+
+    ``descriptor_fn(symbols, positions[N,3]) -> [N, D]`` defaults to the
+    pretrained MACE-MP model; injecting it lets tests cover the whole
+    pipeline (frame iteration, triplet indexing, atom-map reorder, concat,
+    npz contract) without the heavyweight optional dependency."""
     import csv as _csv
 
-    macemp = mace_mp(model=model, device=device)
-    descs = [macemp.get_descriptors(atoms)
-             for atoms in ase.io.iread(str(xyz_file))]
+    if descriptor_fn is None:
+        descriptor_fn = _mace_descriptor_fn(model, device)
+    descs = [np.asarray(descriptor_fn(syms, pos))
+             for syms, pos in read_xyz(xyz_file)]
 
     with open(csv_file, newline="") as f:
         rows = _strip_header(list(_csv.reader(f)))
+    if len(descs) != 3 * len(rows):
+        raise ValueError(
+            f"{xyz_file} holds {len(descs)} structures but {csv_file} has "
+            f"{len(rows)} reactions — expected 3 (r/ts/p) per reaction")
 
     features = []
     for i, row in enumerate(rows):

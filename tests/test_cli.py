@@ -423,3 +423,69 @@ class TestRunbook:
         assert e.value.code == 1
         s = json.load(open(tmp_path / "s.json"))
         assert s["all_passed"] is False
+
+
+class TestDescriptorPipeline:
+    def test_full_pipeline_with_injected_backend(self, tmp_path):
+        """process_xyz_to_npz end to end with an injected descriptor
+        backend (VERDICT r1 #5: the pipeline around the frozen MACE model —
+        frame iteration, r/ts/p triplet indexing, atom-map reorder, concat,
+        npz contract — was never executed)."""
+        import csv as _csv
+        from cgr_mpnn_3d_tpu.data.descriptors import process_xyz_to_npz
+        from cgr_mpnn_3d_tpu.data.preprocess import write_xyz_frames
+
+        # two reactions; reactant SMILES atom-mapped with a NON-identity
+        # permutation so the reorder is actually exercised:
+        # graph order (N,H,H) -> map nums (2,1,3): xyz row of atom i is
+        # ridx[i] = map-1 -> [1,0,2]
+        smis = ["[NH2:2].[H:1].[H:3]>>[NH2:2].[H:1].[H:3]",
+                "[OH:1].[H:2]>>[OH:1].[H:2]"]
+        with open(tmp_path / "r.csv", "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["smiles", "ea"])
+            for s in smis:
+                w.writerow([s, 1.0])
+
+        rng = np.random.default_rng(0)
+        frames = []
+        sym_sets = [["N", "H", "H"], ["O", "H"]]
+        for syms in sym_sets:
+            for _ in range(3):  # r / ts / p
+                frames.append((syms, rng.standard_normal((len(syms), 3)),
+                               "energy=-1.0"))
+        write_xyz_frames(tmp_path / "r.xyz", frames)
+
+        def fake_descriptors(symbols, positions):
+            # deterministic per-atom rows: [sum(pos), len(symbols)]
+            return np.stack([[p.sum(), float(len(symbols))]
+                             for p in positions]).astype(np.float64)
+
+        process_xyz_to_npz(tmp_path / "r.csv", tmp_path / "r.xyz",
+                           tmp_path / "r.npz",
+                           descriptor_fn=fake_descriptors)
+
+        with np.load(tmp_path / "r.npz") as z:
+            assert set(z.files) == {"arr_0", "arr_1"}
+            a0 = z["arr_0"]
+            assert a0.shape == (3, 6)       # 3 atoms x [r||ts||p] * 2 dims
+            # atom-map reorder: graph atoms (N,H,H) have map nums (2,1,3)
+            # -> rows pulled from xyz positions [1,0,2]
+            expected_r = np.array(
+                [frames[0][1][1].sum(), frames[0][1][0].sum(),
+                 frames[0][1][2].sum()])
+            np.testing.assert_allclose(a0[:, 0], expected_r, rtol=1e-6)
+            assert z["arr_1"].shape == (2, 6)
+
+    def test_frame_count_mismatch_raises(self, tmp_path):
+        import csv as _csv
+        from cgr_mpnn_3d_tpu.data.descriptors import process_xyz_to_npz
+        from cgr_mpnn_3d_tpu.data.preprocess import write_xyz_frames
+        with open(tmp_path / "r.csv", "w", newline="") as f:
+            _csv.writer(f).writerows([["smiles", "ea"], ["[OH2:1]", 1.0]])
+        write_xyz_frames(tmp_path / "r.xyz",
+                         [(["O"], np.zeros((1, 3)), "")] * 2)  # not 3
+        with pytest.raises(ValueError, match="expected 3"):
+            process_xyz_to_npz(tmp_path / "r.csv", tmp_path / "r.xyz",
+                               tmp_path / "o.npz",
+                               descriptor_fn=lambda s, p: np.zeros((1, 2)))
