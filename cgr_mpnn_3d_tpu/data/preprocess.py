@@ -179,7 +179,14 @@ class PreProcessTransition1x:
                     f"the file at {target} manually and re-run") from e
 
     def extract_files(self) -> None:
-        shutil.unpack_archive(self._local("tar"), self.download_dir)
+        src = self._local("tar")
+        if src.name.endswith((".tar.gz", ".tgz", ".tar")):
+            import tarfile
+            with tarfile.open(src) as tf:
+                # 'data' filter: no absolute paths/links escape the dir
+                tf.extractall(self.download_dir, filter="data")
+        else:
+            shutil.unpack_archive(src, self.download_dir)
 
     # -- wb97xd3 side: reference structures + SMILES table ------------------
     def _reference_structures(self):

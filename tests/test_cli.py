@@ -489,3 +489,42 @@ class TestDescriptorPipeline:
             process_xyz_to_npz(tmp_path / "r.csv", tmp_path / "r.xyz",
                                tmp_path / "o.npz",
                                descriptor_fn=lambda s, p: np.zeros((1, 2)))
+
+
+class TestAcquisitionOrchestration:
+    def test_download_skips_existing_and_errors_clearly(self, tmp_path,
+                                                        monkeypatch):
+        import urllib.request
+        from cgr_mpnn_3d_tpu.data.preprocess import PreProcessTransition1x
+        dl = tmp_path / "dl"
+        dl.mkdir()
+        pre = PreProcessTransition1x(fpath_download=str(dl))
+        # all three archives present -> no network touched
+        for which in ("t1x", "tar", "csv"):
+            pre._local(which).write_text("cached")
+        called = []
+        monkeypatch.setattr(urllib.request, "urlretrieve",
+                            lambda *a: called.append(a))
+        pre.download_files()
+        assert called == []
+        # one missing + dead network -> actionable error naming the path
+        pre._local("csv").unlink()
+
+        def boom(url, path):
+            raise OSError("no egress")
+
+        monkeypatch.setattr(urllib.request, "urlretrieve", boom)
+        with pytest.raises(RuntimeError, match="place the file at"):
+            pre.download_files()
+
+    def test_extract_unpacks_rxn_tree(self, tmp_path):
+        import tarfile
+        from cgr_mpnn_3d_tpu.data.preprocess import PreProcessTransition1x
+        dl = tmp_path / "dl"
+        (dl / "src" / "wb97xd3" / "rxn000000").mkdir(parents=True)
+        (dl / "src" / "wb97xd3" / "rxn000000" / "r000000.log").write_text("x")
+        with tarfile.open(dl / "wb97xd3.tar.gz", "w:gz") as tf:
+            tf.add(dl / "src" / "wb97xd3", arcname="wb97xd3")
+        pre = PreProcessTransition1x(fpath_download=str(dl))
+        pre.extract_files()
+        assert (pre.rxn_root / "rxn000000" / "r000000.log").exists()
