@@ -193,12 +193,11 @@ def shard_edges(graphs: Sequence[GraphArrays], labels: Sequence[float],
             [x, np.concatenate([np.asarray(a, np.float32)
                                 for a in extra_node_feats], axis=0)], axis=1)
     e_attr = np.concatenate([g.edge_feats for g in graphs], axis=0)
-    send_g = np.concatenate(
-        [g.senders.astype(np.int64) + node_off[i]
-         for i, g in enumerate(graphs)])
-    recv_g = np.concatenate(
-        [g.receivers.astype(np.int64) + node_off[i]
-         for i, g in enumerate(graphs)])
+    edge_off = np.repeat(node_off[:-1], n_edges)
+    send_g = np.concatenate([g.senders for g in graphs]).astype(np.int64)
+    send_g += edge_off
+    recv_g = np.concatenate([g.receivers for g in graphs]).astype(np.int64)
+    recv_g += edge_off
     graph_of = np.repeat(np.arange(n_graphs, dtype=np.int64), n_nodes)
     E = len(send_g)
 

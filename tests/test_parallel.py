@@ -159,20 +159,24 @@ class TestEdgePartition:
 
     def test_shard_edges_vectorized_speed(self):
         """~100k directed edges must shard in well under a second (the r1
-        per-edge Python loop took minutes at this scale)."""
+        per-edge Python loop took minutes at this scale).  Best-of-3 so a
+        cold numpy allocator / suite memory pressure can't flake the
+        assertion; warm standalone runs measure ~85 ms."""
         import time
         from cgr_mpnn_3d_tpu.data.synthetic import synthetic_graphs
         rng = np.random.default_rng(0)
         graphs = synthetic_graphs(2500, rng)
         E = sum(g.num_edges for g in graphs)
         assert E > 90_000
-        t0 = time.time()
-        b = shard_edges(graphs, [0.0] * len(graphs), n_ep=8)
-        dt = time.time() - t0
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            b = shard_edges(graphs, [0.0] * len(graphs), n_ep=8)
+            dt = min(dt, time.time() - t0)
         NKH = b.node_x.shape[1]
         total_real = sum(int((b.src_idx[k] < NKH).sum()) for k in range(8))
         assert total_real == E
-        assert dt < 1.0, f"shard_edges took {dt:.2f}s at {E} edges"
+        assert dt < 0.3, f"shard_edges took {dt:.2f}s at {E} edges"
 
 
 class TestDataParallelFused:
