@@ -389,20 +389,38 @@ def ep_forward(params: dict, b: EdgeShardedBatch, cfg: CGRMPNNConfig,
     else:
         drop_keys = [None] * cfg.depth
 
+    # Split every ext-space op into owned rows [:NK] and boundary rows [NK:)
+    # so each all_to_all has independent local work to hide behind (XLA's
+    # latency-hiding scheduler overlaps async collectives with any op they
+    # don't depend on; one fused op over all NKH rows would serialize them).
+    # Splitting by rows leaves each row's accumulation order untouched, and
+    # sentinel rows gather exact 0.0 — numerics are unchanged.
+    dst_own = jnp.where(b.dst_part < NK, b.dst_part, NK)
+    dst_bnd = jnp.where((b.dst_part >= NK) & (b.dst_part < NKH),
+                        b.dst_part - NK, T)
+    src_own = jnp.where(b.src_idx < NK, b.src_idx, NK)
+    src_bnd = jnp.where((b.src_idx >= NK) & (b.src_idx < NKH),
+                        b.src_idx - NK, T)
+
     def incoming_owned(h):
-        """Complete incoming sums on owned nodes + the boundary partials
-        pushed by peers (one all_to_all)."""
-        partial = node_partial_sum(h, b.part_inc, b.dst_part)   # [NKH, H]
-        pushed = _exchange(partial[NK:].reshape(n_ep, S, -1), axis)
-        return partial[:NK] + node_partial_sum(
+        """Complete incoming sums on owned nodes: boundary partials are
+        computed FIRST so their all_to_all push launches while the
+        owned-row sums run."""
+        part_bnd = node_partial_sum(h, b.part_inc[NK:], dst_bnd)  # [T, H]
+        pushed = _exchange(part_bnd.reshape(n_ep, S, -1), axis)
+        part_own = node_partial_sum(h, b.part_inc[:NK], dst_own)  # [NK, H]
+        return part_own + node_partial_sum(
             pushed.reshape(T, -1), b.own_recv_inc, b.recv_idx)
 
-    def halo(a_own):
-        """Pull completed rows for this shard's boundary set (one
-        all_to_all); -> extended [NKH, H] array for src gathers."""
+    def messages(h, a_own):
+        """t[e] = a[src(e)] - h[rev(e)] with the halo pull overlapped: the
+        owned-src gather (the bulk of the work) is independent of the
+        pulled boundary rows."""
         serve = gather_nodes(a_own, b.recv_idx, b.own_recv_inc)  # [T, H]
         pulled = _exchange(serve.reshape(n_ep, S, -1), axis)
-        return jnp.concatenate([a_own, pulled.reshape(T, -1)], axis=0)
+        t_own = gather_nodes(a_own, src_own, b.ext_out[:NK])     # [EK, H]
+        t_bnd = gather_nodes(pulled.reshape(T, -1), src_bnd, b.ext_out[NK:])
+        return t_own + t_bnd - gather_rev(h, b.rev)
 
     x_src = gather_nodes(b.node_x, b.src_idx, b.ext_out)        # [EK, F]
     h0 = act(_linear(params["edge_init"],
@@ -412,9 +430,7 @@ def ep_forward(params: dict, b: EdgeShardedBatch, cfg: CGRMPNNConfig,
         a_own = incoming_owned(h)
         if mean_scale is not None:
             a_own = a_own * mean_scale
-        a_ext = halo(a_own)                                     # [NKH, H]
-        t = gather_nodes(a_ext, b.src_idx, b.ext_out) \
-            - gather_rev(h, b.rev)
+        t = messages(h, a_own)
         h_new = _linear(params["convs"][l], t, dt)
         if cfg.use_learnable_skip:
             h = h_new + params["skip_weights"][l] * h0
