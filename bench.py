@@ -199,12 +199,22 @@ def main() -> None:
             one_step, (params, opt_state), None, length=args.steps)
         return params, opt_state, losses[-1]
 
-    # compile + warmup
+    # compile + warmup, split into trace/lower (local) vs backend compile
+    # (XLA+Mosaic, server-side under the axon tunnel) so compile-time
+    # regressions can be attributed
     t0 = time.time()
-    params2, opt_state2, loss = run(params, opt_state)
+    lowered = run.lower(params, opt_state)
+    t_lower = time.time() - t0
+    t0 = time.time()
+    compiled = lowered.compile()
+    t_compile = time.time() - t0
+    t0 = time.time()
+    params2, opt_state2, loss = compiled(params, opt_state)
     jax.block_until_ready(loss)
-    print(f"compile+first run: {time.time() - t0:.1f}s, loss={float(loss):.3g}",
+    print(f"compile: lower {t_lower:.1f}s + backend {t_compile:.1f}s, "
+          f"first run {time.time() - t0:.1f}s, loss={float(loss):.3g}",
           file=sys.stderr)
+    run = compiled
 
     best = 0.0
     best_dt = float("inf")
