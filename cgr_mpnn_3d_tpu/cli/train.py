@@ -69,6 +69,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                          "batch_size/dp graphs per step, gradients psum "
                          "over the mesh (ICI on a slice, DCN across hosts "
                          "with jax.distributed)")
+    ap.add_argument("--ep", default=1, type=int,
+                    help="edge-partition devices: each batch's edge arrays "
+                         "are sharded over ep chips with ragged boundary "
+                         "exchange over ICI (the graph analog of context "
+                         "parallelism); composes with --dp as a "
+                         "('dp','ep') mesh of dp*ep devices")
     ap.add_argument("--steps_per_call", default=1, type=int,
                     help="train steps per device dispatch (lax.scan); >1 "
                          "amortizes host round-trip latency BUT coarsens "
@@ -156,7 +162,7 @@ def train(args) -> dict:
         batch_size=args.batch_size, val_frequency=args.val_frequency,
         model_save_dir=args.save_path, seed=args.seed, logger=logger,
         resume_from=args.resume, steps_per_call=args.steps_per_call,
-        n_dp=args.dp)
+        n_dp=args.dp, n_ep=args.ep)
     return trainer.train()
 
 

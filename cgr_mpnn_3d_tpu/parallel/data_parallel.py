@@ -91,7 +91,9 @@ def make_dp_train_step(optimizer: optax.GradientTransformation,
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
-    return jax.jit(smapped, donate_argnums=(0,))
+    # NO buffer donation: the trainer's NaN guard rolls back to the state it
+    # passed into the failing step — donating would delete those buffers
+    return jax.jit(smapped)
 
 
 def make_dp_eval_step(cfg: CGRMPNNConfig, mesh: Mesh,

@@ -56,7 +56,7 @@ from ..train.trainer import TrainState
 from .mesh import P
 
 __all__ = ["EdgeShardedBatch", "shard_edges", "ep_forward",
-           "make_ep_train_step"]
+           "make_ep_train_step", "make_ep_eval_step"]
 
 
 class EdgeShardedBatch(NamedTuple):
@@ -202,10 +202,16 @@ def shard_edges(graphs: Sequence[GraphArrays], labels: Sequence[float],
     E = len(send_g)
 
     # ---- ownership and pair assignment ------------------------------------
+    # NK is the per-shard array CAPACITY (pinnable for static shapes); the
+    # ownership block size tracks the ACTUAL node count so a small batch
+    # under a large pin still spreads evenly over all shards — ownership
+    # geometry (and with it every other natural size) is independent of
+    # the pins, which keeps pin-growth monotone and convergent.
     NK = nk or _r8(int(np.ceil(NT / n_ep)))
-    if NK * n_ep < NT:
+    block = max(1, int(np.ceil(NT / n_ep)))
+    if block > NK:
         raise ValueError(f"nk={NK} too small for {NT} nodes / {n_ep} shards")
-    owner = lambda n: np.minimum(n // NK, n_ep - 1)
+    owner = lambda n: np.minimum(n // block, n_ep - 1)
     pair_src = send_g[0::2]                    # even edge's source
     pair_shard = owner(pair_src)               # [E/2]
 
@@ -241,7 +247,7 @@ def shard_edges(graphs: Sequence[GraphArrays], labels: Sequence[float],
     def ext_pos(k_arr, n_arr):
         """ext position of global node n as seen from shard k."""
         own = owner(n_arr)
-        local = n_arr - k_arr * NK
+        local = n_arr - k_arr * block
         bpos = lut[k_arr, n_arr]
         return np.where(own == k_arr, local, bpos)
 
@@ -274,7 +280,8 @@ def shard_edges(graphs: Sequence[GraphArrays], labels: Sequence[float],
     # ---- node features: owned block ++ halo --------------------------------
     node_x = np.zeros((n_ep, NKH, F), x.dtype)
     for k in range(n_ep):                       # n_ep iterations, bulk rows
-        lo, hi = k * NK, min((k + 1) * NK, NT)
+        lo = k * block
+        hi = min((k + 1) * block, NT) if k < n_ep - 1 else NT
         if hi > lo:
             node_x[k, :hi - lo] = x[lo:hi]
     if len(v_s):
@@ -307,7 +314,7 @@ def shard_edges(graphs: Sequence[GraphArrays], labels: Sequence[float],
     # (j, i); on j the wire position is [k, i] (all_to_all pairs [k]<->[j]).
     recv_idx = np.full((n_ep, T), NK, np.int32)
     if len(v_s):
-        recv_idx[j_s, k_s * S + slot] = (v_s - j_s * NK).astype(np.int32)
+        recv_idx[j_s, k_s * S + slot] = (v_s - j_s * block).astype(np.int32)
     DR = d_recv or _max_count(recv_idx, NK)
     own_recv_inc = np.empty((n_ep, NK, DR), np.int32)
     for k in range(n_ep):
@@ -319,7 +326,7 @@ def shard_edges(graphs: Sequence[GraphArrays], labels: Sequence[float],
     # ---- pooling over owned nodes ------------------------------------------
     node_ids = np.arange(NT, dtype=np.int64)
     n_owner = owner(node_ids)
-    n_pos = node_ids - n_owner * NK
+    n_pos = node_ids - n_owner * block
     DN = dn or max(1, int(np.bincount(
         n_owner * n_graphs + graph_of, minlength=1).max(initial=1)))
     graph_nodes = np.empty((n_ep, n_graphs, DN), np.int32)
@@ -492,4 +499,26 @@ def make_ep_train_step(optimizer: optax.GradientTransformation,
     smapped = jax.shard_map(per_device, mesh=mesh,
                             in_specs=(P(), batch_spec),
                             out_specs=(P(), P()), check_vma=False)
-    return jax.jit(smapped, donate_argnums=(0,))
+    # NO buffer donation: the trainer's NaN guard rolls back to the state it
+    # passed into the failing step — donating would delete those buffers
+    return jax.jit(smapped)
+
+
+def make_ep_eval_step(cfg: CGRMPNNConfig, mesh: Mesh):
+    """Jitted ``eval(params, stacked_batch) -> (sum_sse, preds[n_dp*B])``
+    over stacked EdgeShardedBatches (leaves [n_dp, n_ep, ...])."""
+    n_ep = mesh.shape["ep"]
+
+    def per_device(params, batch: EdgeShardedBatch):
+        local = jax.tree_util.tree_map(lambda v: v[0, 0], batch)
+        sse, preds = ep_forward(params, local, cfg, axis="ep")
+        # sse/preds are replicated across 'ep' (each member computed the
+        # full-batch values); the dp-group total divides by n_ep
+        return jax.lax.psum(sse / n_ep, ("dp", "ep")), preds
+
+    batch_spec = jax.tree_util.tree_map(
+        lambda _: P("dp", "ep"), EdgeShardedBatch(*[0] * 14))
+    smapped = jax.shard_map(per_device, mesh=mesh,
+                            in_specs=(P(), batch_spec),
+                            out_specs=(P(), P("dp")), check_vma=False)
+    return jax.jit(smapped)

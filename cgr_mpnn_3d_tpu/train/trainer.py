@@ -124,24 +124,41 @@ class RxnGraphTrainer:
     # batch_size/n_dp graphs per step; gradients psum (parallel/
     # data_parallel.py).  Forces steps_per_call=1.
     n_dp: int = 1
+    # edge partitioning (parallel/edge_partition.py): every batch's edge
+    # arrays are sharded over n_ep chips with ragged boundary exchange;
+    # composes with n_dp as a ('dp','ep') mesh.  Forces steps_per_call=1.
+    n_ep: int = 1
 
     def __post_init__(self):
         q = max(1, self.cfg.pallas_sub_packs)
         self.n_dp = max(1, self.n_dp)
-        if self.n_dp > 1:
-            if len(jax.devices()) < self.n_dp:
-                raise ValueError(f"n_dp={self.n_dp} > "
-                                 f"{len(jax.devices())} devices")
+        self.n_ep = max(1, self.n_ep)
+        ndev = self.n_dp * self.n_ep
+        if ndev > 1:
+            if len(jax.devices()) < ndev:
+                raise ValueError(f"mesh dp={self.n_dp} x ep={self.n_ep} "
+                                 f"needs {ndev} devices, have "
+                                 f"{len(jax.devices())}")
             if self.steps_per_call > 1:
                 raise ValueError("steps_per_call > 1 is single-device only")
         per_dev_bs = -(-self.batch_size // self.n_dp)
-        self.train_loader = PackedLoader(self.train_data, self.spec,
+        if self.n_ep > 1:
+            from ..parallel import EPLoader
+            self.train_loader = EPLoader(self.train_data, self.n_ep,
                                          batch_size=per_dev_bs,
-                                         shuffle=True, seed=self.seed,
-                                         round_packs_to=q)
-        self.val_loader = PackedLoader(self.val_data, self.spec,
+                                         n_dp=self.n_dp, shuffle=True,
+                                         seed=self.seed)
+            self.val_loader = EPLoader(self.val_data, self.n_ep,
                                        batch_size=per_dev_bs,
-                                       shuffle=False, round_packs_to=q)
+                                       n_dp=self.n_dp, shuffle=False)
+        else:
+            self.train_loader = PackedLoader(self.train_data, self.spec,
+                                             batch_size=per_dev_bs,
+                                             shuffle=True, seed=self.seed,
+                                             round_packs_to=q)
+            self.val_loader = PackedLoader(self.val_data, self.spec,
+                                           batch_size=per_dev_bs,
+                                           shuffle=False, round_packs_to=q)
         steps_per_epoch = len(self.train_loader)
         self.optimizer = make_optimizer(self.lr, self.weight_decay,
                                         self.gamma, steps_per_epoch)
@@ -159,6 +176,19 @@ class RxnGraphTrainer:
 
         cfg = self.cfg
         optimizer = self.optimizer
+
+        if self.n_ep > 1:
+            from ..parallel import (make_ep_eval_step, make_ep_train_step,
+                                    make_mesh)
+            mesh = make_mesh(n_dp=self.n_dp, n_ep=self.n_ep,
+                             devices=jax.devices()[:ndev])
+            self._mesh = mesh
+            ep_step = make_ep_train_step(optimizer, cfg, mesh)
+            self._train_step = lambda st, b: tuple(ep_step(st, b)) + (None,)
+            self._train_chunk = None
+            self._eval_step = make_ep_eval_step(cfg, mesh)
+            return
+
         # the loader fixes the pack count; the model needs it for Pallas
         step_spec = self.train_loader.spec
 
@@ -273,7 +303,7 @@ class RxnGraphTrainer:
             """Yield (stacked_chunk_or_batch, n_steps, sum_loss_fn)."""
             K = max(1, self.steps_per_call)
             src = self.train_loader.prefetch()
-            if self.n_dp > 1:
+            if self.n_dp > 1 and self.n_ep == 1:
                 src = self._dp_group(src, self.train_loader.spec)
             pend: list[PackedGraphBatch] = []
             for b in src:
@@ -329,7 +359,7 @@ class RxnGraphTrainer:
     def _val_epoch(self, epoch_idx: int) -> float:
         total = 0.0
         batches = self.val_loader.prefetch()
-        if self.n_dp > 1:
+        if self.n_dp > 1 and self.n_ep == 1:
             batches = self._dp_group(batches, self.val_loader.spec)
         for batch in batches:
             sse, _ = self._eval_step(self.state.params, batch)

@@ -28,6 +28,18 @@ def datasets(tmp_path):
 
 
 class TestTrainCLI:
+    def test_ep_flag_trains_on_device_mesh(self, datasets, tmp_path,
+                                           monkeypatch):
+        """--ep 2 end-to-end from the CLI (2 of the 8 virtual devices)."""
+        from cgr_mpnn_3d_tpu.cli.train import main
+        monkeypatch.chdir(tmp_path)
+        main(["--name", "CGR", "-d", "2", "--hidden_sizes", "16",
+              "--dropout_ps", "0.0", "-ne", "2", "-bs", "4",
+              "--ep", "2", "--data_path", str(datasets),
+              "--save_path", str(tmp_path / "saved_ep"),
+              "--val_frequency", "1", "--skip_test"])
+        assert list((tmp_path / "saved_ep").glob("CGR_*.npz"))
+
     def test_cgr_train_and_test(self, datasets, tmp_path, monkeypatch):
         from cgr_mpnn_3d_tpu.cli.train import main
         monkeypatch.chdir(tmp_path)

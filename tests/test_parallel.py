@@ -279,3 +279,123 @@ class TestEdgePartitionMean:
         for g, lbl in enumerate(LABELS):
             np.testing.assert_allclose(preds[g], by_label[lbl],
                                        rtol=1e-4, atol=1e-4)
+
+
+class TestEPTrainerCLI:
+    """--ep path: EPLoader + make_ep_eval_step + trainer n_ep integration."""
+
+    @pytest.fixture(scope="class")
+    def demo_ds(self):
+        from pathlib import Path
+        from cgr_mpnn_3d_tpu.data import ChemDataset
+        demo = Path(__file__).resolve().parent.parent / "examples" / "demo.csv"
+        ds = ChemDataset(str(demo))
+        ds.prefeaturize()
+        return ds
+
+    def test_ep_loader_shapes_and_masking(self, demo_ds):
+        from cgr_mpnn_3d_tpu.parallel import EPLoader, empty_ep_batch_like
+        ld = EPLoader(demo_ds, n_ep=2, batch_size=8, n_dp=2, shuffle=False)
+        groups = list(ld)
+        # 10 graphs / bs 8 -> 2 batches -> 1 dp-group of 2
+        assert len(groups) == len(ld) == 1
+        g = groups[0]
+        assert g.node_x.shape[:2] == (2, 2)          # [n_dp, n_ep, ...]
+        # second dp member holds the short batch: 2 real + 6 dummies
+        assert float(g.graph_mask[1].sum()) == 2 * 2  # per-ep copies
+        assert float(g.graph_mask[0].sum()) == 8 * 2
+        # shapes shared across the group (one compilation)
+        filler = empty_ep_batch_like(
+            jax.tree_util.tree_map(lambda v: v[0], g))
+        for a, b in zip(jax.tree_util.tree_leaves(filler),
+                        jax.tree_util.tree_leaves(
+                            jax.tree_util.tree_map(lambda v: v[0], g))):
+            assert a.shape == b.shape
+
+    def test_ep_loader_pin_growth(self, graphs):
+        """A batch bigger than the prescan sample must grow pins, not fail."""
+        from cgr_mpnn_3d_tpu.data.synthetic import synthetic_graphs
+        from cgr_mpnn_3d_tpu.parallel.ep_loader import natural_ep_pins
+        from cgr_mpnn_3d_tpu.parallel import shard_edges
+        rng = np.random.default_rng(3)
+        small = synthetic_graphs(12, rng)
+        big = synthetic_graphs(4, rng, min_atoms=60, max_atoms=80)
+        nat_small = natural_ep_pins(
+            shard_edges(small[:4], [0.0] * 4, n_ep=2))
+        nat_big = natural_ep_pins(shard_edges(big, [0.0] * 4, n_ep=2))
+        assert nat_big["nk"] > nat_small["nk"]  # growth actually exercised
+
+        class _DS:  # minimal ChemDataset stand-in over raw graphs
+            use_npz = False
+            num_edge_features = 14
+            def __init__(self, gs):
+                self.gs = gs
+                self.labels = np.arange(len(gs), dtype=np.float32)
+            def __len__(self):
+                return len(self.gs)
+            def graph(self, i):
+                return self.gs[i]
+            def extra_feats(self, i):
+                return None
+
+        from cgr_mpnn_3d_tpu.parallel import EPLoader
+        ld = EPLoader(_DS(small + big), n_ep=2, batch_size=4, n_dp=1,
+                      shuffle=False, prescan_batches=1)
+        pins0 = dict(ld.pins)
+        groups = list(ld)
+        assert len(groups) == 4
+        assert ld.pins["nk"] > pins0["nk"]
+        # every yielded group uses the shapes current at its yield time;
+        # real edges survive sharding
+        total_real = 0
+        for g in groups:
+            NKH = g.node_x.shape[2]
+            total_real += int((g.src_idx < NKH).sum())
+        assert total_real == sum(x.num_edges for x in small + big)
+
+    def test_ep_trainer_invariant_to_shard_count(self, demo_ds, tmp_path):
+        """The full trainer path must be numerically invariant to n_ep
+        (EPLoader windows don't depend on the shard count, and the
+        boundary exchange is exact) — n_ep=2 and n_ep=4 runs must agree.
+        Step-level equivalence vs single-device is proven separately in
+        TestEdgePartition; trajectory parity vs the packed trainer is NOT
+        expected (PackedLoader's overflow windows batch differently)."""
+        from cgr_mpnn_3d_tpu.data import plan_spec
+        from cgr_mpnn_3d_tpu.train import RxnGraphTrainer
+        gs = [demo_ds.graph(i) for i in range(len(demo_ds))]
+        spec = plan_spec(gs, te=128, tn=64, tb=8)
+        cfg = CGRMPNNConfig(num_node_features=demo_ds.num_node_features,
+                            num_edge_features=demo_ds.num_edge_features,
+                            depth=2, hidden_sizes=(24, 24),
+                            dropout_ps=(0.0, 0.0))
+        common = dict(name="ep-test", cfg=cfg, train_data=demo_ds,
+                      val_data=demo_ds, spec=spec, lr=3e-3, num_epochs=2,
+                      batch_size=8, val_frequency=1, seed=0)
+        a = RxnGraphTrainer(model_save_dir=str(tmp_path / "a"),
+                            n_ep=2, **common).train()
+        b = RxnGraphTrainer(model_save_dir=str(tmp_path / "b"),
+                            n_ep=4, **common).train()
+        np.testing.assert_allclose(a["train_losses"], b["train_losses"],
+                                   rtol=1e-4)
+        np.testing.assert_allclose(a["val_losses"], b["val_losses"],
+                                   rtol=1e-4)
+        assert a["train_losses"][-1] < a["train_losses"][0]
+
+    def test_ep_trainer_dp_ep_mesh(self, demo_ds, tmp_path):
+        """dp=2 x ep=2 mesh from the trainer: runs, learns, checkpoints."""
+        from cgr_mpnn_3d_tpu.data import plan_spec
+        from cgr_mpnn_3d_tpu.train import RxnGraphTrainer
+        gs = [demo_ds.graph(i) for i in range(len(demo_ds))]
+        spec = plan_spec(gs, te=128, tn=64, tb=8)
+        cfg = CGRMPNNConfig(num_node_features=demo_ds.num_node_features,
+                            num_edge_features=demo_ds.num_edge_features,
+                            depth=2, hidden_sizes=(24, 24),
+                            dropout_ps=(0.1, 0.1))
+        out = RxnGraphTrainer(
+            name="ep-dp", cfg=cfg, train_data=demo_ds, val_data=demo_ds,
+            spec=spec, lr=5e-3, num_epochs=4, batch_size=8,
+            val_frequency=2, seed=0, n_dp=2, n_ep=2,
+            model_save_dir=str(tmp_path / "m")).train()
+        assert np.isfinite(out["train_losses"]).all()
+        assert out["train_losses"][-1] < out["train_losses"][0]
+        assert (tmp_path / "m" / "ep-dp.npz").exists()
