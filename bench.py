@@ -104,6 +104,10 @@ def main() -> None:
                          "run on [q*te, H] tiles")
     ap.add_argument("--no-pallas", action="store_true",
                     help="use the XLA gather path instead of Pallas kernels")
+    ap.add_argument("--no-fused", action="store_true",
+                    help="Pallas per-layer kernels but NOT the one-kernel "
+                         "train step (cheaper Mosaic compile, more HBM "
+                         "traffic)")
     ap.add_argument("--mode", default="train",
                     choices=["train", "inference"],
                     help="train = fwd+bwd+optimizer (the headline metric); "
@@ -168,7 +172,7 @@ def main() -> None:
 
     from cgr_mpnn_3d_tpu.models.cgr_mpnn import (fused_train_value_and_grad,
                                                  supports_fused_train)
-    use_fused_train = supports_fused_train(cfg)
+    use_fused_train = supports_fused_train(cfg) and not args.no_fused
     print(f"fused one-kernel train step: {use_fused_train}", file=sys.stderr)
 
     def loss_fn(params):

@@ -399,3 +399,40 @@ class TestEPTrainerCLI:
         assert np.isfinite(out["train_losses"]).all()
         assert out["train_losses"][-1] < out["train_losses"][0]
         assert (tmp_path / "m" / "ep-dp.npz").exists()
+
+
+class TestNaNGuardRollback:
+    def test_dp_rollback_reuses_state_after_bad_batch(self, tmp_path):
+        """Regression: dp/ep train steps must NOT donate the input state —
+        the NaN guard rolls back to it after a poisoned batch, and a
+        donated buffer would be deleted (RuntimeError on the next step)."""
+        from pathlib import Path
+        from cgr_mpnn_3d_tpu.data import ChemDataset, plan_spec
+        from cgr_mpnn_3d_tpu.train import RxnGraphTrainer
+        demo = Path(__file__).resolve().parent.parent / "examples" / "demo.csv"
+        ds = ChemDataset(str(demo))
+        ds.prefeaturize()
+        ds.labels = np.asarray(ds.labels, np.float32).copy()
+        ds.labels[3] = np.inf                    # one poisoned row
+        gs = [ds.graph(i) for i in range(len(ds))]
+        spec = plan_spec(gs, te=128, tn=64, tb=8)
+        cfg = CGRMPNNConfig(num_node_features=ds.num_node_features,
+                            num_edge_features=ds.num_edge_features,
+                            depth=2, hidden_sizes=(16, 16),
+                            dropout_ps=(0.0, 0.0))
+        events = []
+
+        class _Log:
+            def log(self, rec):
+                events.append(rec)
+            def finish(self):
+                pass
+
+        out = RxnGraphTrainer(
+            name="nan-dp", cfg=cfg, train_data=ds, val_data=ds, spec=spec,
+            lr=1e-3, num_epochs=2, batch_size=4, val_frequency=5,
+            seed=0, n_dp=2, logger=_Log(),
+            model_save_dir=str(tmp_path / "m")).train()
+        # the poisoned batch was dropped, the rest of training proceeded
+        assert any(e.get("event") == "non_finite_loss" for e in events)
+        assert len(out["train_losses"]) == 2
