@@ -14,6 +14,7 @@ Prints exactly one JSON line:
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import math
 import sys
@@ -168,6 +169,11 @@ def main() -> None:
     params = init_params(jax.random.PRNGKey(0), cfg)
     opt = make_optimizer(1e-4, 0.0, 1.0, 100)
     opt_state = opt.init(params)
+    # NOTE: the batch must reach the jitted program as an ARGUMENT, not a
+    # closed-over device-array constant: tracing runs concrete-input index
+    # ops eagerly, and on a tunneled TPU each becomes a compile+execute
+    # round-trip (measured: 252 s of "lowering" in round 2, ~2 s once the
+    # batch is a tracer).
     batch = jax.device_put(batch)
 
     from cgr_mpnn_3d_tpu.models.cgr_mpnn import (fused_train_value_and_grad,
@@ -175,15 +181,15 @@ def main() -> None:
     use_fused_train = supports_fused_train(cfg) and not args.no_fused
     print(f"fused one-kernel train step: {use_fused_train}", file=sys.stderr)
 
-    def loss_fn(params):
+    def loss_fn(params, batch):
         preds = apply(params, batch, cfg, spec)
         err = (preds - batch.labels) * batch.graph_mask
         return jnp.sum(err * err)
 
-    def one_step(carry, _):
+    def one_step(batch, carry, _):
         params, opt_state = carry
         if args.mode == "inference":
-            loss = loss_fn(params)
+            loss = loss_fn(params, batch)
             # fold output into carry so scan iterations stay dependent
             params = jax.tree_util.tree_map(
                 lambda a: a + (0.0 * loss).astype(a.dtype), params)
@@ -192,28 +198,29 @@ def main() -> None:
             loss, grads = fused_train_value_and_grad(params, batch, cfg,
                                                      spec, None)
         else:
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state), loss
 
     @jax.jit
-    def run(params, opt_state):
+    def run(params, opt_state, batch):
         (params, opt_state), losses = jax.lax.scan(
-            one_step, (params, opt_state), None, length=args.steps)
+            functools.partial(one_step, batch), (params, opt_state), None,
+            length=args.steps)
         return params, opt_state, losses[-1]
 
     # compile + warmup, split into trace/lower (local) vs backend compile
     # (XLA+Mosaic, server-side under the axon tunnel) so compile-time
     # regressions can be attributed
     t0 = time.time()
-    lowered = run.lower(params, opt_state)
+    lowered = run.lower(params, opt_state, batch)
     t_lower = time.time() - t0
     t0 = time.time()
     compiled = lowered.compile()
     t_compile = time.time() - t0
     t0 = time.time()
-    params2, opt_state2, loss = compiled(params, opt_state)
+    params2, opt_state2, loss = compiled(params, opt_state, batch)
     jax.block_until_ready(loss)
     print(f"compile: lower {t_lower:.1f}s + backend {t_compile:.1f}s, "
           f"first run {time.time() - t0:.1f}s, loss={float(loss):.3g}",
@@ -224,7 +231,7 @@ def main() -> None:
     best_dt = float("inf")
     for r in range(args.repeats):
         t0 = time.time()
-        params2, opt_state2, loss = run(params, opt_state)
+        params2, opt_state2, loss = run(params, opt_state, batch)
         jax.block_until_ready(loss)
         dt = time.time() - t0
         eps = n_edges_real * args.steps / dt
