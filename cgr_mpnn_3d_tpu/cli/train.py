@@ -71,10 +71,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
                          "with jax.distributed)")
     ap.add_argument("--ep", default=1, type=int,
                     help="edge-partition devices: each batch's edge arrays "
-                         "are sharded over ep chips with ragged boundary "
-                         "exchange over ICI (the graph analog of context "
+                         "are sharded over ep chips in pack-local layout "
+                         "(one-hot SpMM kernels + cut-bounded ring boundary "
+                         "exchange over ICI — the graph analog of context "
                          "parallelism); composes with --dp as a "
                          "('dp','ep') mesh of dp*ep devices")
+    ap.add_argument("--ep_te", default=128, type=int,
+                    help="EP pack tile: edge slots per pack (auto-grows "
+                         "when a shard-local graph fragment exceeds it)")
+    ap.add_argument("--ep_tn", default=64, type=int,
+                    help="EP pack tile: node slots per pack")
     ap.add_argument("--steps_per_call", default=1, type=int,
                     help="train steps per device dispatch (lax.scan); >1 "
                          "amortizes host round-trip latency BUT coarsens "
@@ -162,7 +168,8 @@ def train(args) -> dict:
         batch_size=args.batch_size, val_frequency=args.val_frequency,
         model_save_dir=args.save_path, seed=args.seed, logger=logger,
         resume_from=args.resume, steps_per_call=args.steps_per_call,
-        n_dp=args.dp, n_ep=args.ep)
+        n_dp=args.dp, n_ep=args.ep, ep_te=args.ep_te,
+        ep_tn=args.ep_tn)
     return trainer.train()
 
 

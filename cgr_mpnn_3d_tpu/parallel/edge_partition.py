@@ -55,8 +55,14 @@ from ..ops.segment import gather_nodes, gather_rev, node_partial_sum
 from ..train.trainer import TrainState
 from .mesh import P
 
-__all__ = ["EdgeShardedBatch", "shard_edges", "ep_forward",
-           "make_ep_train_step", "make_ep_eval_step"]
+__all__ = ["EPOverflow", "EdgeShardedBatch", "shard_edges",
+           "ep_forward", "make_ep_train_step", "make_ep_eval_step"]
+
+
+class EPOverflow(ValueError):
+    """A batch exceeded pinned padded sizes — grow the pins and retry (the
+    only ValueError subclass the EP loaders' pin-growth loop catches, so
+    real input errors surface immediately; advisor r2 finding)."""
 
 
 class EdgeShardedBatch(NamedTuple):
@@ -155,8 +161,8 @@ def _ell_pack(rows: np.ndarray, vals: np.ndarray, n_rows: int, width: int,
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     rank = np.arange(len(r)) - np.repeat(starts, counts)
     if counts.max(initial=0) > width:
-        raise ValueError(f"{what}: ELL width {width} < max degree "
-                         f"{int(counts.max())}; raise it")
+        raise EPOverflow(f"{what}: ELL width {width} < max degree "
+                          f"{int(counts.max())}; raise it")
     out[r, rank] = v
     return out
 
@@ -210,7 +216,7 @@ def shard_edges(graphs: Sequence[GraphArrays], labels: Sequence[float],
     NK = nk or _r8(int(np.ceil(NT / n_ep)))
     block = max(1, int(np.ceil(NT / n_ep)))
     if block > NK:
-        raise ValueError(f"nk={NK} too small for {NT} nodes / {n_ep} shards")
+        raise EPOverflow(f"nk={NK} too small for {NT} nodes / {n_ep} shards")
     owner = lambda n: np.minimum(n // block, n_ep - 1)
     pair_src = send_g[0::2]                    # even edge's source
     pair_shard = owner(pair_src)               # [E/2]
@@ -234,7 +240,7 @@ def shard_edges(graphs: Sequence[GraphArrays], labels: Sequence[float],
         if len(kj_s) else np.zeros(0, np.int64)
     S = s_max or _r8(int(grp_counts.max(initial=0)))
     if grp_counts.max(initial=0) > S:
-        raise ValueError(f"s_max={S} < max boundary set "
+        raise EPOverflow(f"s_max={S} < max boundary set "
                          f"{int(grp_counts.max())}")
     T = n_ep * S
     NKH = NK + T
@@ -256,7 +262,7 @@ def shard_edges(graphs: Sequence[GraphArrays], labels: Sequence[float],
     pair_counts = np.bincount(pair_shard, minlength=n_ep)
     EK = ek or _r8(2 * int(pair_counts.max(initial=0)), lo=8)
     if 2 * pair_counts.max(initial=0) > EK:
-        raise ValueError(f"ek={EK} < max shard edges "
+        raise EPOverflow(f"ek={EK} < max shard edges "
                          f"{2 * int(pair_counts.max())}")
     p_starts = np.concatenate([[0], np.cumsum(pair_counts)[:-1]])
     p_rank = np.arange(len(pair_order)) - np.repeat(p_starts, pair_counts)

@@ -1,37 +1,48 @@
-"""Host-side loader for edge-partitioned training (CLI ``--ep N``).
+"""Host-side loaders for edge-partitioned training (CLI ``--ep N``).
 
-Bridges :class:`~..data.dataset.ChemDataset` to
-:func:`~.edge_partition.shard_edges`: each step batch is ``batch_size``
-whole graphs sharded over the 'ep' mesh axis, with ``n_dp`` such batches
-stacked into one ``[n_dp, n_ep, ...]`` tree for the combined dp x ep train
-step.  TPU obligations handled here, mirroring data/loader.py:
+Bridges :class:`~..data.dataset.ChemDataset` to the edge-sharding packers:
+each step batch is ``batch_size`` whole graphs sharded over the 'ep' mesh
+axis, with ``n_dp`` such batches stacked into one ``[n_dp, n_ep, ...]`` tree
+for the combined dp x ep train step.  TPU obligations handled here,
+mirroring data/loader.py:
 
-* **Static shapes.**  shard_edges' padded sizes (nk/ek/s_max/d/d_out/
-  d_recv/dn) are *pinned* so every batch of a run shares one jit
-  compilation.  Pins come from a pre-scan of the first epoch's batches plus
-  headroom; a later batch that still overflows grows the pins (monotone)
-  and re-shards the whole pending dp group, costing one recompile.
-* **Fixed graph count.**  Short batches are padded with mask-0 dummy
-  graphs (1 node, 0 edges) so the per-graph axis B is static; padded
-  labels are 0 and ``graph_mask`` zeroes their loss contribution.
+* **Static shapes.**  The packers' padded sizes are *pinned* so every batch
+  of a run shares one jit compilation.  Pins come from a pre-scan of the
+  first epoch's batches plus headroom; a later batch that still overflows
+  (:class:`~.edge_partition.EPOverflow` — ONLY that type, so real input
+  errors surface immediately) grows the pins monotonically, re-shards the
+  group at the new pins, and costs one recompile.  Only the failing window
+  pays an extra unpinned pass to learn its natural sizes.
+* **Fixed graph count.**  Short batches are padded with mask-0 dummy graphs
+  (1 node, 0 edges) so the per-graph axis B is static.
 * **Prefetch.**  A background thread overlaps host sharding with device
   steps (same contract as PackedLoader.prefetch).
+
+Two loaders share the machinery:
+
+* :class:`EPPackLoader` — the default ``--ep`` path: pack-local shard layout
+  (parallel/ep_pack.py) whose hot ops run as one-hot SpMM Pallas kernels.
+* :class:`EPLoader` — the flat ext-index layout (parallel/edge_partition.py),
+  kept as the differential-testing reference for the packed path.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from typing import Iterator, Sequence
 
 import numpy as np
 
 from ..chem.featurize import GraphArrays
 from ..data.dataset import ChemDataset
-from .edge_partition import EdgeShardedBatch, shard_edges
+from .edge_partition import EdgeShardedBatch, EPOverflow, shard_edges
+from .ep_pack import (EPPackedBatch, EPPackSpec, empty_ep_pack_batch,
+                      pack_shard_edges)
 
-__all__ = ["EPLoader", "empty_ep_batch_like", "natural_ep_pins"]
+__all__ = ["EPLoader", "EPPackLoader", "empty_ep_batch_like",
+           "natural_ep_pins"]
 
 _HEADROOM = 1.3
 
@@ -54,15 +65,6 @@ def natural_ep_pins(b: EdgeShardedBatch) -> dict:
         "d_recv": b.own_recv_inc.shape[2],
         "dn": b.graph_nodes.shape[2],
     }
-
-
-def _grow(cur: dict | None, nat: dict) -> dict:
-    """Monotone pin growth with headroom (rounded to 8)."""
-    out = {}
-    for k, v in nat.items():
-        g = _r8(int(np.ceil(v * _HEADROOM)))
-        out[k] = max(g, cur.get(k, 0)) if cur else g
-    return out
 
 
 def empty_ep_batch_like(b: EdgeShardedBatch) -> EdgeShardedBatch:
@@ -92,8 +94,12 @@ def empty_ep_batch_like(b: EdgeShardedBatch) -> EdgeShardedBatch:
 
 
 @dataclass
-class EPLoader:
-    """Yields stacked ``[n_dp, n_ep, ...]`` EdgeShardedBatch trees."""
+class _BaseEPLoader:
+    """Shared window/epoch/prefetch/pin-growth machinery (see module doc).
+
+    Subclasses implement ``_shard_pinned``, ``_learn`` (grow pins from one
+    window's natural sizes) and ``_filler``.
+    """
     dataset: ChemDataset
     n_ep: int
     batch_size: int = 32          # graphs per dp-local step batch
@@ -101,17 +107,31 @@ class EPLoader:
     shuffle: bool = True
     seed: int = 0
     prescan_batches: int = 8      # epoch-0 batches sampled to set pins
-    pins: dict | None = field(default=None)
 
     def __post_init__(self):
         if len(self.dataset) == 0:
             raise ValueError("empty dataset")
         self._epoch = 0
         self._dummy = self._make_dummy()
-        if self.pins is None:
-            self._prescan()
+        if not self._has_pins():
+            for w in self._prescan_windows():
+                self._learn(w)
 
-    # -- interface parity with PackedLoader --------------------------------
+    # -- subclass interface -------------------------------------------------
+    def _has_pins(self) -> bool:
+        raise NotImplementedError
+
+    def _shard_pinned(self, window):
+        raise NotImplementedError
+
+    def _learn(self, window) -> None:
+        """Grow pins (monotone, with headroom) from a window's naturals."""
+        raise NotImplementedError
+
+    def _filler(self, like):
+        raise NotImplementedError
+
+    # -- interface parity with PackedLoader ---------------------------------
     def __len__(self) -> int:
         n_batches = int(np.ceil(len(self.dataset) / self.batch_size))
         return int(np.ceil(n_batches / self.n_dp))
@@ -160,65 +180,47 @@ class EPLoader:
                 extra.append(dummy_extra)
         return graphs, labels, extra, n_real
 
-    def _shard(self, window) -> EdgeShardedBatch:
-        graphs, labels, extra, n_real = window
-        b = shard_edges(graphs, labels, self.n_ep,
-                        extra_node_feats=extra, **(self.pins or {}))
-        if n_real < self.batch_size:
-            mask = b.graph_mask.copy()
-            mask[:, n_real:] = 0.0
-            b = b._replace(graph_mask=mask)
-        return b
-
-    def _prescan(self) -> None:
-        """Set pins from the first epoch-0 batches (natural sizes x
-        headroom) so batches share one compilation."""
+    def _prescan_windows(self):
         order = self._order()
-        pins: dict | None = None
         bs = self.batch_size
-        n = min(self.prescan_batches,
-                int(np.ceil(len(order) / bs)))
-        for i in range(n):
-            window = self._window(order[i * bs:(i + 1) * bs])
-            nat = natural_ep_pins(self._shard_unpinned(window))
-            pins = _grow(pins, nat)
-        self.pins = pins
+        n = min(self.prescan_batches, int(np.ceil(len(order) / bs)))
+        return [self._window(order[i * bs:(i + 1) * bs]) for i in range(n)]
 
-    def _shard_unpinned(self, window) -> EdgeShardedBatch:
-        graphs, labels, extra, _ = window
-        return shard_edges(graphs, labels, self.n_ep,
-                           extra_node_feats=extra)
-
-    def __iter__(self) -> Iterator[EdgeShardedBatch]:
+    def __iter__(self):
         order = list(self._order())
         bs = self.batch_size
         windows = [self._window(order[i:i + bs])
                    for i in range(0, len(order), bs)]
         for g0 in range(0, len(windows), self.n_dp):
             group_windows = windows[g0:g0 + self.n_dp]
-            for attempt in range(3):
+            group = []
+            i = 0
+            grows = 0
+            while i < len(group_windows):
                 try:
-                    group = [self._shard(w) for w in group_windows]
-                    break
-                except ValueError:
-                    if attempt == 2:
+                    group.append(self._shard_pinned(group_windows[i]))
+                    i += 1
+                except EPOverflow:
+                    grows += 1
+                    if grows > 2 * len(group_windows):
                         raise
-                    # a batch overflowed the pins: grow monotonically from
-                    # this group's natural sizes and re-shard the whole
-                    # group (one recompile on the device side).  Ownership
-                    # geometry is pin-independent (shard_edges block-size
-                    # decoupling), so the naturals always cover the retry.
-                    pins = dict(self.pins or {})
-                    for w in group_windows:
-                        nat = natural_ep_pins(self._shard_unpinned(w))
-                        pins = _grow(pins, nat)
-                    self.pins = pins
+                    # grow pins from THIS window's naturals (only the
+                    # failing window pays an unpinned pass), then re-shard
+                    # the whole group at the new pinned shapes
+                    self._learn(group_windows[i])
+                    group, i = [], 0
             if len(group) < self.n_dp:
-                filler = empty_ep_batch_like(group[0])
+                filler = self._filler(group[0])
                 group += [filler] * (self.n_dp - len(group))
-            yield _stack_group(group)
+            yield self._emit(_stack_group(group))
 
-    def prefetch(self, depth: int = 2) -> Iterator[EdgeShardedBatch]:
+    def _emit(self, stacked):
+        """Hook: what one iteration yields (EPPackLoader attaches the spec
+        the batch was built under, so prefetched batches stay consistent
+        across mid-epoch pin growth)."""
+        return stacked
+
+    def prefetch(self, depth: int = 2):
         """Background-thread producer (PackedLoader.prefetch contract)."""
         q: queue.Queue = queue.Queue(maxsize=depth)
         _SENTINEL = object()
@@ -244,6 +246,99 @@ class EPLoader:
             yield item
 
 
-def _stack_group(group: list[EdgeShardedBatch]) -> EdgeShardedBatch:
-    return EdgeShardedBatch(*[np.stack([getattr(b, f) for b in group], 0)
-                              for f in EdgeShardedBatch._fields])
+@dataclass
+class EPLoader(_BaseEPLoader):
+    """Yields stacked ``[n_dp, n_ep, ...]`` EdgeShardedBatch trees (flat
+    ext-index layout — the differential reference for EPPackLoader)."""
+    pins: dict | None = field(default=None)
+
+    def _has_pins(self) -> bool:
+        return self.pins is not None
+
+    def _shard_pinned(self, window) -> EdgeShardedBatch:
+        graphs, labels, extra, n_real = window
+        b = shard_edges(graphs, labels, self.n_ep,
+                        extra_node_feats=extra, **(self.pins or {}))
+        if n_real < self.batch_size:
+            mask = b.graph_mask.copy()
+            mask[:, n_real:] = 0.0
+            b = b._replace(graph_mask=mask)
+        return b
+
+    def _learn(self, window) -> None:
+        graphs, labels, extra, _ = window
+        nat = natural_ep_pins(shard_edges(graphs, labels, self.n_ep,
+                                          extra_node_feats=extra))
+        pins = dict(self.pins or {})
+        for k, v in nat.items():
+            g = _r8(int(np.ceil(v * _HEADROOM)))
+            pins[k] = max(g, pins.get(k, 0))
+        self.pins = pins
+
+    def _filler(self, like: EdgeShardedBatch) -> EdgeShardedBatch:
+        return empty_ep_batch_like(like)
+
+
+@dataclass
+class EPPackLoader(_BaseEPLoader):
+    """Yields stacked ``[n_dp, n_ep, ...]`` EPPackedBatch trees — the
+    default ``--ep`` path (pack-local layout, Pallas-kernel speed).
+
+    ``spec`` is the pinned :class:`~.ep_pack.EPPackSpec`; the trainer keys
+    its jitted step on it and rebuilds on growth (one recompile)."""
+    te: int = 128
+    tn: int = 64
+    spec: EPPackSpec | None = field(default=None)
+
+    def _has_pins(self) -> bool:
+        return self.spec is not None
+
+    def _shard_pinned(self, window) -> EPPackedBatch:
+        graphs, labels, extra, n_real = window
+        b, _ = pack_shard_edges(graphs, labels, self.n_ep, te=self.te,
+                                tn=self.tn, extra_node_feats=extra,
+                                spec=self.spec)
+        if n_real < self.batch_size:
+            mask = b.graph_mask.copy()
+            mask[:, n_real:] = 0.0
+            b = b._replace(graph_mask=mask)
+        return b
+
+    def _learn(self, window) -> None:
+        graphs, labels, extra, _ = window
+        _, nat = pack_shard_edges(graphs, labels, self.n_ep, te=self.te,
+                                  tn=self.tn, extra_node_feats=extra)
+        gro = lambda v: _r8(int(np.ceil(v * _HEADROOM)))
+        cur = self.spec
+        if cur is None:
+            self.spec = replace(
+                nat, p=max(1, int(np.ceil(nat.p * _HEADROOM))),
+                d=gro(nat.d), d2=gro(nat.d2), dr=gro(nat.dr),
+                dn=gro(nat.dn), b=self.batch_size,
+                caps=tuple(gro(c) if c else 0 for c in nat.caps))
+        else:
+            if nat.te > cur.te or nat.tn > cur.tn:
+                # natural build auto-grew the tile (giant fragment)
+                cur = replace(cur, te=max(cur.te, nat.te),
+                              tn=max(cur.tn, nat.tn))
+            self.spec = replace(
+                cur, p=max(cur.p, int(np.ceil(nat.p * _HEADROOM))),
+                d=max(cur.d, gro(nat.d)), d2=max(cur.d2, gro(nat.d2)),
+                dr=max(cur.dr, gro(nat.dr)), dn=max(cur.dn, gro(nat.dn)),
+                b=max(cur.b, self.batch_size),
+                caps=tuple(max(c, gro(n) if n else 0)
+                           for c, n in zip(cur.caps, nat.caps)))
+        self.te, self.tn = self.spec.te, self.spec.tn
+
+    def _filler(self, like: EPPackedBatch) -> EPPackedBatch:
+        return empty_ep_pack_batch(self.spec, like.node_x.shape[2],
+                                   like.edge_attr.shape[2])
+
+    def _emit(self, stacked):
+        return self.spec, stacked
+
+
+def _stack_group(group: list) -> EdgeShardedBatch | EPPackedBatch:
+    cls = type(group[0])
+    return cls(*[np.stack([getattr(b, f) for b in group], 0)
+                 for f in cls._fields])

@@ -124,10 +124,14 @@ class RxnGraphTrainer:
     # batch_size/n_dp graphs per step; gradients psum (parallel/
     # data_parallel.py).  Forces steps_per_call=1.
     n_dp: int = 1
-    # edge partitioning (parallel/edge_partition.py): every batch's edge
-    # arrays are sharded over n_ep chips with ragged boundary exchange;
-    # composes with n_dp as a ('dp','ep') mesh.  Forces steps_per_call=1.
+    # edge partitioning (parallel/ep_pack.py): every batch's edge arrays are
+    # sharded over n_ep chips in pack-local layout (one-hot SpMM kernels +
+    # cut-bounded ring boundary exchange); composes with n_dp as a
+    # ('dp','ep') mesh.  Forces steps_per_call=1.
     n_ep: int = 1
+    # EP pack tile (edge/node slots per pack); auto-grows for giant graphs
+    ep_te: int = 128
+    ep_tn: int = 64
 
     def __post_init__(self):
         q = max(1, self.cfg.pallas_sub_packs)
@@ -143,14 +147,16 @@ class RxnGraphTrainer:
                 raise ValueError("steps_per_call > 1 is single-device only")
         per_dev_bs = -(-self.batch_size // self.n_dp)
         if self.n_ep > 1:
-            from ..parallel import EPLoader
-            self.train_loader = EPLoader(self.train_data, self.n_ep,
-                                         batch_size=per_dev_bs,
-                                         n_dp=self.n_dp, shuffle=True,
-                                         seed=self.seed)
-            self.val_loader = EPLoader(self.val_data, self.n_ep,
-                                       batch_size=per_dev_bs,
-                                       n_dp=self.n_dp, shuffle=False)
+            from ..parallel import EPPackLoader
+            self.train_loader = EPPackLoader(self.train_data, self.n_ep,
+                                             batch_size=per_dev_bs,
+                                             n_dp=self.n_dp, shuffle=True,
+                                             seed=self.seed,
+                                             te=self.ep_te, tn=self.ep_tn)
+            self.val_loader = EPPackLoader(self.val_data, self.n_ep,
+                                           batch_size=per_dev_bs,
+                                           n_dp=self.n_dp, shuffle=False,
+                                           te=self.ep_te, tn=self.ep_tn)
         else:
             self.train_loader = PackedLoader(self.train_data, self.spec,
                                              batch_size=per_dev_bs,
@@ -178,15 +184,33 @@ class RxnGraphTrainer:
         optimizer = self.optimizer
 
         if self.n_ep > 1:
-            from ..parallel import (make_ep_eval_step, make_ep_train_step,
-                                    make_mesh)
+            from ..parallel import (make_ep_pack_eval_step,
+                                    make_ep_pack_train_step, make_mesh)
             mesh = make_mesh(n_dp=self.n_dp, n_ep=self.n_ep,
                              devices=jax.devices()[:ndev])
             self._mesh = mesh
-            ep_step = make_ep_train_step(optimizer, cfg, mesh)
-            self._train_step = lambda st, b: tuple(ep_step(st, b)) + (None,)
+            # the EP steps are keyed on the loader's (static) EPPackSpec;
+            # pin growth mid-run changes the spec -> rebuild (the shapes
+            # changed anyway, so the recompile is already being paid)
+            steps: dict = {}
+
+            def ep_step(state, item):
+                spec, batch = item      # EPPackLoader yields (spec, batch)
+                if ("t", spec) not in steps:
+                    steps[("t", spec)] = make_ep_pack_train_step(
+                        optimizer, cfg, mesh, spec)
+                return steps[("t", spec)](state, batch)
+
+            def ep_eval(params, item):
+                spec, batch = item
+                if ("e", spec) not in steps:
+                    steps[("e", spec)] = make_ep_pack_eval_step(
+                        cfg, mesh, spec)
+                return steps[("e", spec)](params, batch)
+
+            self._train_step = ep_step
             self._train_chunk = None
-            self._eval_step = make_ep_eval_step(cfg, mesh)
+            self._eval_step = ep_eval
             return
 
         # the loader fixes the pack count; the model needs it for Pallas

@@ -1,0 +1,274 @@
+"""Edge partitioning v3 (pack-local layout, parallel/ep_pack.py).
+
+Coverage mirrors the v2 suite (test_parallel.py) on the new layout:
+forward/gradient exactness vs the single-device model, shard-count
+invariance, giant graphs spanning every shard, mean aggregation, the Pallas
+kernels in interpret mode, the cut-bounded wire layout, loader pin growth,
+and the typed-overflow contract (advisor r2 findings).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cgr_mpnn_3d_tpu.chem.featurize import GraphArrays
+from cgr_mpnn_3d_tpu.data import pack_graphs, plan_spec
+from cgr_mpnn_3d_tpu.data.batch import packs_needed
+from cgr_mpnn_3d_tpu.data.synthetic import synthetic_graphs
+from cgr_mpnn_3d_tpu.models import CGRMPNNConfig, init_params
+from cgr_mpnn_3d_tpu.models.cgr_mpnn import apply as model_apply
+from cgr_mpnn_3d_tpu.parallel import (EPOverflow, EPPackLoader, P, make_mesh,
+                                      pack_shard_edges)
+from cgr_mpnn_3d_tpu.parallel.ep_pack import (EPPackSpec, empty_ep_pack_batch,
+                                              ep_pack_forward,
+                                              make_ep_pack_train_step,
+                                              wire_bytes_per_layer)
+
+NF, FE = 20, 14
+
+
+def chain_graph(n, rng, fdim=NF):
+    """n-node path graph (pairs adjacent)."""
+    nb = n - 1
+    send = np.empty(2 * nb, np.int32)
+    recv = np.empty(2 * nb, np.int32)
+    send[0::2] = np.arange(nb)
+    recv[0::2] = np.arange(1, n)
+    send[1::2] = np.arange(1, n)
+    recv[1::2] = np.arange(nb)
+    return GraphArrays(rng.normal(size=(n, fdim)).astype(np.float32),
+                       rng.normal(size=(2 * nb, FE)).astype(np.float32),
+                       send, recv, np.arange(2 * nb, dtype=np.int32) ^ 1)
+
+
+def make_cfg(**kw):
+    base = dict(num_node_features=NF, num_edge_features=FE, depth=3,
+                hidden_sizes=(32,) * 3, dropout_ps=(0.0,) * 3,
+                compute_dtype=jnp.float32, use_pallas=False)
+    base.update(kw)
+    return CGRMPNNConfig(**base)
+
+
+def single_device_preds(graphs, labels, params, cfg):
+    te = max(1024, max(g.num_edges for g in graphs) + 8)
+    tn = max(512, max(g.num_nodes for g in graphs) + 8)
+    spec1 = plan_spec(graphs, te=te, tn=tn, tb=len(graphs))
+    spec1 = spec1.with_packs(packs_needed(graphs, spec1, fill_target=0.6) + 2)
+    b1 = pack_graphs(graphs, labels, spec1)
+    preds = np.asarray(model_apply(params, b1, cfg, spec1))
+    mask = b1.graph_mask.astype(bool)
+    out = np.empty(len(graphs))
+    out[b1.row_ids[mask]] = preds[mask]
+    return out
+
+
+def ep_preds(graphs, labels, params, cfg, n_ep, te=64, tn=32):
+    b, espec = pack_shard_edges(graphs, labels, n_ep, te=te, tn=tn)
+    mesh = make_mesh(n_dp=1, n_ep=n_ep, devices=jax.devices()[:n_ep])
+
+    def fwd(bb):
+        local = jax.tree_util.tree_map(lambda v: v[0], bb)
+        return ep_pack_forward(params, local, cfg, espec, axis="ep")
+
+    pspec = jax.tree_util.tree_map(lambda _: P("ep"), b)
+    sm = jax.jit(jax.shard_map(fwd, mesh=mesh, in_specs=(pspec,),
+                               out_specs=(P(), P()), check_vma=False))
+    _, preds = sm(b)
+    return np.asarray(preds)[:len(graphs)], espec
+
+
+@pytest.fixture(scope="module")
+def small_case():
+    rng = np.random.default_rng(3)
+    graphs = synthetic_graphs(24, rng, node_feat_dim=NF)
+    labels = [0.3 * i for i in range(len(graphs))]
+    cfg = make_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    ref = single_device_preds(graphs, labels, params, cfg)
+    return graphs, labels, cfg, params, ref
+
+
+@pytest.mark.parametrize("n_ep", [1, 2, 4, 8])
+def test_forward_exactness_and_shard_invariance(small_case, n_ep):
+    graphs, labels, cfg, params, ref = small_case
+    got, _ = ep_preds(graphs, labels, params, cfg, n_ep)
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_gradient_oracle_vs_single_device(small_case):
+    graphs, labels, cfg, params, _ = small_case
+    n_ep = 4
+    b, espec = pack_shard_edges(graphs, labels, n_ep, te=64, tn=32)
+    mesh = make_mesh(n_dp=1, n_ep=n_ep, devices=jax.devices()[:n_ep])
+
+    def loss_sharded(params, bb):
+        def f(p, bl):
+            local = jax.tree_util.tree_map(lambda v: v[0], bl)
+            sse, _ = ep_pack_forward(p, local, cfg, espec, axis="ep")
+            return jax.lax.psum(sse / n_ep, "ep")
+
+        pspec = jax.tree_util.tree_map(lambda _: P("ep"), bb)
+        return jax.shard_map(f, mesh=mesh, in_specs=(P(), pspec),
+                             out_specs=P(), check_vma=False)(params, bb)
+
+    g_ep = jax.jit(jax.grad(loss_sharded))(params, b)
+
+    spec1 = plan_spec(graphs, te=1024, tn=512, tb=len(graphs))
+    spec1 = spec1.with_packs(packs_needed(graphs, spec1, fill_target=0.6) + 2)
+    b1 = pack_graphs(graphs, labels, spec1)
+
+    def loss_ref(params):
+        preds = model_apply(params, b1, cfg, spec1)
+        err = (preds - b1.labels) * b1.graph_mask
+        return jnp.sum(err * err)
+
+    g_ref = jax.jit(jax.grad(loss_ref))(params)
+    for a, r in zip(jax.tree_util.tree_leaves(g_ep),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("aggr", ["add", "mean"])
+def test_giant_graph_spans_all_shards(aggr):
+    """A 480-atom chain must shard over 8 devices exactly (tile auto-grow)."""
+    rng = np.random.default_rng(5)
+    graphs = [chain_graph(480, rng)] + synthetic_graphs(
+        6, rng, node_feat_dim=NF)
+    labels = [0.5 * i for i in range(len(graphs))]
+    cfg = make_cfg(aggr=aggr)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    ref = single_device_preds(graphs, labels, params, cfg)
+    got, espec = ep_preds(graphs, labels, params, cfg, 8)
+    assert espec.te > 64, "tile should auto-grow for the giant fragment"
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_pallas_interpret_matches_xla(small_case):
+    graphs, labels, cfg, params, ref = small_case
+    cfgp = make_cfg(use_pallas=True, pallas_interpret=True)
+    got, _ = ep_preds(graphs, labels, params, cfgp, 4)
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_wire_is_cut_bounded_on_skewed_cut():
+    """VERDICT r2 #6: one giant chain (cut ~1 node per block boundary) plus
+    small graphs — total wire rows must track the actual cut, NOT
+    n_ep x max-per-pair like the v2 dense slot layout."""
+    rng = np.random.default_rng(7)
+    graphs = [chain_graph(256, rng)] + synthetic_graphs(
+        8, rng, node_feat_dim=NF)
+    labels = [0.0] * len(graphs)
+    b, espec = pack_shard_edges(graphs, labels, 8, te=64, tn=48)
+    n_boundary = int((np.asarray(b.halo_mask) > 0).sum())
+    # chain cut: ~1 boundary node per consecutive-block pair -> hop-1 only
+    assert espec.caps[0] > 0
+    assert sum(espec.caps[1:]) == 0, "chain cut must not pay far hops"
+    assert espec.tw <= max(16, 4 * n_boundary), (
+        f"wire {espec.tw} not bounded by cut {n_boundary}")
+    # v2 layout would be n_ep * S; here total == per-hop max, not n_ep x max
+    assert espec.tw < 8 * espec.caps[0] or espec.caps[0] == 8
+
+
+def test_comm_volume_accounting():
+    spec = EPPackSpec(n_ep=4, caps=(16, 8, 0))
+    assert wire_bytes_per_layer(spec, hidden=400) == 2 * 24 * 400 * 4
+
+
+def test_overflow_is_typed_and_growable():
+    rng = np.random.default_rng(9)
+    graphs = synthetic_graphs(12, rng, node_feat_dim=NF)
+    labels = [0.0] * len(graphs)
+    _, nat = pack_shard_edges(graphs, labels, 2, te=64, tn=32)
+    tight = EPPackSpec(n_ep=2, te=64, tn=32, p=max(1, nat.p - 1), d=nat.d,
+                       d2=nat.d2, dr=nat.dr, dn=nat.dn, b=nat.b,
+                       caps=nat.caps)
+    with pytest.raises(EPOverflow):
+        pack_shard_edges(graphs, labels, 2, spec=tight)
+    # a malformed input must NOT raise the growable type
+    bad = GraphArrays(np.zeros((2, NF), np.float32),
+                      np.zeros((1, FE), np.float32),
+                      np.array([0], np.int32), np.array([1], np.int32),
+                      np.array([0], np.int32))
+    with pytest.raises(ValueError) as ei:
+        pack_shard_edges([bad], [0.0], 2)
+    assert not isinstance(ei.value, EPOverflow)
+
+
+def test_empty_filler_is_exact_zero(small_case):
+    graphs, labels, cfg, params, _ = small_case
+    _, espec = pack_shard_edges(graphs, labels, 2, te=64, tn=32)
+    filler = empty_ep_pack_batch(espec, NF, FE)
+    mesh = make_mesh(n_dp=1, n_ep=2, devices=jax.devices()[:2])
+
+    def loss(params, bb):
+        def f(p, bl):
+            local = jax.tree_util.tree_map(lambda v: v[0], bl)
+            sse, _ = ep_pack_forward(p, local, cfg, espec, axis="ep")
+            return jax.lax.psum(sse / 2, "ep")
+
+        pspec = jax.tree_util.tree_map(lambda _: P("ep"), bb)
+        return jax.shard_map(f, mesh=mesh, in_specs=(P(), pspec),
+                             out_specs=P(), check_vma=False)(params, bb)
+
+    val, grads = jax.value_and_grad(loss)(params, filler)
+    assert float(val) == 0.0
+    for g in jax.tree_util.tree_leaves(grads):
+        assert float(jnp.abs(g).max()) == 0.0
+
+
+def test_loader_pin_growth_and_spec_travel():
+    """Mid-epoch overflow grows the spec; every yielded item carries the
+    spec its batch was built under."""
+    rng = np.random.default_rng(11)
+
+    class FakeDataset:
+        """Minimal ChemDataset stand-in: small graphs first, one giant."""
+
+        def __init__(self):
+            self.graphs = synthetic_graphs(15, rng, node_feat_dim=NF) + \
+                [chain_graph(200, rng)]
+            self.labels = np.zeros(len(self.graphs), np.float32)
+            self.use_npz = False
+            self.num_edge_features = FE
+            self.num_node_features = NF
+
+        def __len__(self):
+            return len(self.graphs)
+
+        def graph(self, i):
+            return self.graphs[i]
+
+    loader = EPPackLoader(FakeDataset(), n_ep=4, batch_size=4, n_dp=1,
+                          shuffle=False, prescan_batches=1, te=64, tn=32)
+    items = list(loader)
+    assert len(items) == 4
+    for spec, batch in items:
+        # stacked leaves are [n_dp, n_ep, ...]
+        assert batch.node_x.shape[:2] == (1, 4)
+        assert batch.node_x.shape[2:] == (spec.pn, NF)
+        assert batch.senders.shape[-1] == spec.pe
+    # the giant chain (batch 4) must have grown the tile
+    assert items[-1][0].te >= 64
+
+
+def test_train_step_learns_and_reports_gnorm(small_case):
+    graphs, labels, cfg, params, _ = small_case
+    import optax
+    from cgr_mpnn_3d_tpu.train.trainer import TrainState
+
+    n_ep = 2
+    b, espec = pack_shard_edges(graphs, labels, n_ep, te=64, tn=32)
+    stacked = jax.tree_util.tree_map(lambda v: v[None], b)   # n_dp=1
+    mesh = make_mesh(n_dp=1, n_ep=n_ep, devices=jax.devices()[:2])
+    opt = optax.adam(1e-3)
+    step = make_ep_pack_train_step(opt, cfg, mesh, espec)
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32),
+                       jax.random.PRNGKey(0))
+    losses = []
+    for _ in range(8):
+        state, loss, gnorm = step(state, stacked)
+        assert np.isfinite(float(gnorm)) and float(gnorm) > 0
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
