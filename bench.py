@@ -84,6 +84,123 @@ def _device_matmul_ceiling_tflops(jax, jnp) -> float:
     return 2 * n * n * n * 32 / best / 1e12
 
 
+def _bench_parallel(args, graphs, n_edges_real, nf) -> None:
+    """--parallel ep|dp: per-chip AND aggregate edges/s + comm bytes/step.
+
+    On the single real TPU chip (--ndev 1) the ep mode measures the
+    edge-partitioned code path's overhead vs the non-EP Pallas rate
+    (VERDICT r2 #1 done-criterion); on a --cpu --ndev 8 virtual mesh it
+    measures relative weak scaling and actual wire volume.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from cgr_mpnn_3d_tpu.models import CGRMPNNConfig, init_params
+    from cgr_mpnn_3d_tpu.parallel import make_mesh
+    from cgr_mpnn_3d_tpu.train import TrainState, make_optimizer
+
+    ndev = args.ndev
+    if len(jax.devices()) < ndev:
+        raise SystemExit(f"--ndev {ndev} but only {len(jax.devices())} "
+                         f"devices visible")
+    use_pallas = not args.no_pallas and not args.cpu
+    cfg = CGRMPNNConfig(
+        num_node_features=nf, num_edge_features=14, depth=4,
+        hidden_sizes=(400,) * 4, dropout_ps=(0.0,) * 4,
+        compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16"
+        else jnp.float32,
+        use_pallas=use_pallas, pallas_sub_packs=args.q)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(1e-4, 0.0, 1.0, 100)
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32),
+                       jax.random.PRNGKey(1))
+    n_params = sum(int(np.prod(l.shape))
+                   for l in jax.tree_util.tree_leaves(params))
+    labels = [0.0] * len(graphs)
+    H = cfg.hidden
+
+    if args.parallel == "ep":
+        from cgr_mpnn_3d_tpu.parallel import (make_ep_pack_train_step,
+                                              pack_shard_edges)
+        from cgr_mpnn_3d_tpu.parallel.ep_pack import wire_bytes_per_layer
+        batch, spec = pack_shard_edges(graphs, labels, ndev,
+                                       te=args.te, tn=args.tn)
+        mesh = make_mesh(n_dp=1, n_ep=ndev, devices=jax.devices()[:ndev])
+        step = make_ep_pack_train_step(opt, cfg, mesh, spec)
+        stacked = jax.tree_util.tree_map(lambda v: v[None], batch)
+        fill = n_edges_real / (ndev * spec.pe)
+        # wire volume: push+pull per conv layer + final push (readout), per
+        # shard; grads all-reduce once per step
+        wire = ((2 * cfg.depth + 1) * wire_bytes_per_layer(spec, H) // 2)
+        print(f"ep: n_ep={ndev}, p={spec.p} packs/shard "
+              f"(te={spec.te}, tn={spec.tn}), fill {fill:.2f}, "
+              f"caps={spec.caps} -> wire {wire/1e6:.3f} MB/step/shard, "
+              f"grad psum {n_params * 4 / 1e6:.1f} MB/step",
+              file=sys.stderr)
+    else:
+        from cgr_mpnn_3d_tpu.data import pack_graphs, plan_spec
+        from cgr_mpnn_3d_tpu.data.batch import packs_needed
+        from cgr_mpnn_3d_tpu.parallel import make_dp_train_step
+        groups = [graphs[k::ndev] for k in range(ndev)]  # size-balanced
+        spec = plan_spec(graphs, te=args.te, tn=args.tn, tb=args.tb)
+        p = max(packs_needed(g, spec, fill_target=0.92) for g in groups)
+        p = -(-p // args.q) * args.q
+        spec = spec.with_packs(p)
+        per_dev = [pack_graphs(g, [0.0] * len(g), spec) for g in groups]
+        stacked = jax.tree_util.tree_map(
+            lambda *v: np.stack(v, 0), *per_dev)
+        mesh = make_mesh(n_dp=ndev, n_ep=1, devices=jax.devices()[:ndev])
+        step = make_dp_train_step(opt, cfg, mesh, spec=spec)
+        fill = n_edges_real / (ndev * spec.total_edges)
+        wire = 0
+        print(f"dp: n_dp={ndev}, p={spec.p} packs/device, fill {fill:.2f}, "
+              f"grad psum {n_params * 4 / 1e6:.1f} MB/step",
+              file=sys.stderr)
+
+    stacked = jax.device_put(stacked)
+
+    @jax.jit
+    def run(state, stacked):
+        def body(s, _):
+            out = step(s, stacked)
+            return out[0], out[1]
+        state, losses = jax.lax.scan(body, state, None, length=args.steps)
+        return state, losses[-1]
+
+    t0 = time.time()
+    lowered = run.lower(state, stacked)
+    t_lower = time.time() - t0
+    t0 = time.time()
+    compiled = lowered.compile()
+    t_compile = time.time() - t0
+    _, loss = compiled(state, stacked)
+    jax.block_until_ready(loss)
+    print(f"compile: lower {t_lower:.1f}s + backend {t_compile:.1f}s, "
+          f"loss={float(loss):.3g}", file=sys.stderr)
+
+    best = 0.0
+    for r in range(args.repeats):
+        t0 = time.time()
+        _, loss = compiled(state, stacked)
+        jax.block_until_ready(loss)
+        dt = time.time() - t0
+        agg = n_edges_real * args.steps / dt
+        print(f"repeat {r}: {dt:.3f}s -> {agg/1e6:.2f} Medges/s aggregate "
+              f"({agg/ndev/1e6:.2f} per chip x {ndev})", file=sys.stderr)
+        best = max(best, agg)
+
+    print(json.dumps({
+        "metric": f"{args.parallel}_aggregate_edges_per_s",
+        "value": round(best, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(best / 1e9, 4),
+        "ndev": ndev,
+        "per_chip": round(best / ndev, 1),
+        "comm_bytes_per_step_per_shard": int(wire),
+        "grad_allreduce_bytes_per_step": int(n_params * 4),
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--graphs", type=int, default=2500,
@@ -113,10 +230,24 @@ def main() -> None:
                     choices=["train", "inference"],
                     help="train = fwd+bwd+optimizer (the headline metric); "
                          "inference = forward only")
+    ap.add_argument("--parallel", default="none",
+                    choices=["none", "ep", "dp"],
+                    help="bench a parallel path: ep = edge-partitioned "
+                         "train step (pack-local layout + ring exchange), "
+                         "dp = data-parallel step; reports per-chip AND "
+                         "aggregate edges/s plus comm bytes/step")
+    ap.add_argument("--ndev", default=1, type=int,
+                    help="devices for --parallel (1 on the real chip; up "
+                         "to 8 with --cpu for weak-scaling relatives)")
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU (debug)")
     args = ap.parse_args()
 
+    import os
+    if args.cpu and args.ndev > 1:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                                   f" --xla_force_host_platform_device_count"
+                                   f"={args.ndev}").strip()
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -140,6 +271,11 @@ def main() -> None:
     # first-fit-decreasing: big graphs first -> higher fill, fewer packs
     graphs.sort(key=lambda g: -g.num_edges)
     n_edges_real = sum(g.num_edges for g in graphs)
+
+    if args.parallel != "none":
+        _bench_parallel(args, graphs, n_edges_real, nf)
+        return
+
     spec = plan_spec(graphs, te=args.te, tn=args.tn, tb=args.tb)
     from cgr_mpnn_3d_tpu.data.batch import packs_needed
     for fill_target in (0.97, 0.95, 0.92, 0.88, 0.82, 0.75):

@@ -79,6 +79,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--ep_te", default=128, type=int,
                     help="EP pack tile: edge slots per pack (auto-grows "
                          "when a shard-local graph fragment exceeds it)")
+    ap.add_argument("--ep_rdma", action="store_true",
+                    help="--ep boundary exchange as one Pallas kernel of "
+                         "concurrent inter-chip RDMAs instead of the "
+                         "ppermute ring (TPU only; "
+                         "parallel/rdma_exchange.py)")
     ap.add_argument("--ep_tn", default=64, type=int,
                     help="EP pack tile: node slots per pack")
     ap.add_argument("--steps_per_call", default=1, type=int,
@@ -145,8 +150,17 @@ def train(args) -> dict:
         compute_dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16"
         else jnp.float32,
         pallas_sub_packs=args.pack_q,
+        ep_rdma_exchange=bool(args.ep_rdma),
     )
     cfg = maybe_enable_pallas(cfg)  # TPU: one-hot SpMM kernels
+    if args.ep_rdma:
+        from ..utils.platform import is_tpu
+        if not is_tpu():
+            # the RDMA kernel needs real ICI (or the TPU interpreter, which
+            # the tests drive); off-TPU runs keep the ppermute ring
+            print("--ep_rdma ignored off-TPU (ppermute ring used)")
+            from dataclasses import replace
+            cfg = replace(cfg, ep_rdma_exchange=False)
 
     import os as _os
     workers = args.num_workers if args.num_workers is not None \

@@ -68,6 +68,11 @@ class CGRMPNNConfig:
                                            # per pack, so q small packs halve
                                            # message-matmul flops while dense
                                            # matmuls keep full [q*te] tiles
+    ep_rdma_exchange: bool = False         # --ep boundary exchange as one
+                                           # Pallas kernel of concurrent
+                                           # inter-chip RDMAs instead of the
+                                           # ppermute ring (TPU/interpret
+                                           # only; parallel/rdma_exchange.py)
 
     def __post_init__(self):
         object.__setattr__(self, "hidden_sizes",

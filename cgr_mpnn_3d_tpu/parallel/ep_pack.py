@@ -630,6 +630,17 @@ def ep_pack_forward(params: dict, b: EPPackedBatch, cfg: CGRMPNNConfig,
     n_ep = spec.n_ep
     has_wire = any(c > 0 for c in spec.caps)
 
+    if cfg.ep_rdma_exchange:
+        from .rdma_exchange import ring_exchange_rdma
+
+        def exchange(wire, inverse=False):
+            return ring_exchange_rdma(wire, spec.caps, axis,
+                                      inverse=inverse,
+                                      interpret=cfg.pallas_interpret)
+    else:
+        def exchange(wire, inverse=False):
+            return _ring_exchange(wire, spec.caps, axis, inverse=inverse)
+
     if cfg.use_pallas:
         md = jnp.bfloat16 if dt == jnp.bfloat16 else jnp.float32
 
@@ -658,7 +669,7 @@ def ep_pack_forward(params: dict, b: EPPackedBatch, cfg: CGRMPNNConfig,
         if has_wire:
             wire = _wire_gather(a, b.wire_send_slot, b.halo_pull_idx,
                                 b.halo_mask)
-            recv = _ring_exchange(wire, spec.caps, axis)
+            recv = exchange(wire)
             a = a + node_partial_sum(recv, b.recv_add_ell, b.recv_dst_slot)
         if cfg.aggr == "mean":
             a = a * b.inv_deg[:, None]
@@ -669,7 +680,7 @@ def ep_pack_forward(params: dict, b: EPPackedBatch, cfg: CGRMPNNConfig,
         if not has_wire:
             return a
         serve = _serve_gather(a, b.recv_dst_slot, b.recv_add_ell)
-        pulled = _ring_exchange(serve, spec.caps, axis, inverse=True)
+        pulled = exchange(serve, inverse=True)
         return _halo_swap(a, pulled, b.halo_pull_idx, b.halo_mask,
                           b.wire_send_slot)
 

@@ -158,10 +158,12 @@ class TestEdgePartition:
                                        rtol=1e-4, atol=1e-6)
 
     def test_shard_edges_vectorized_speed(self):
-        """~100k directed edges must shard in well under a second (the r1
+        """~100k directed edges must shard in about a second (the r1
         per-edge Python loop took minutes at this scale).  Best-of-3 so a
         cold numpy allocator / suite memory pressure can't flake the
-        assertion; warm standalone runs measure ~85 ms."""
+        assertion; warm standalone runs measure ~85 ms, so the generous
+        1.0 s bound only catches order-of-magnitude regressions without
+        flaking a functional suite on a loaded CI host (ADVICE r2)."""
         import time
         from cgr_mpnn_3d_tpu.data.synthetic import synthetic_graphs
         rng = np.random.default_rng(0)
@@ -176,7 +178,7 @@ class TestEdgePartition:
         NKH = b.node_x.shape[1]
         total_real = sum(int((b.src_idx[k] < NKH).sum()) for k in range(8))
         assert total_real == E
-        assert dt < 0.3, f"shard_edges took {dt:.2f}s at {E} edges"
+        assert dt < 1.0, f"shard_edges took {dt:.2f}s at {E} edges"
 
 
 class TestDataParallelFused:
@@ -312,7 +314,7 @@ class TestEPTrainerCLI:
                             jax.tree_util.tree_map(lambda v: v[0], g))):
             assert a.shape == b.shape
 
-    def test_ep_loader_pin_growth(self, graphs):
+    def test_ep_loader_pin_growth(self):
         """A batch bigger than the prescan sample must grow pins, not fail."""
         from cgr_mpnn_3d_tpu.data.synthetic import synthetic_graphs
         from cgr_mpnn_3d_tpu.parallel.ep_loader import natural_ep_pins
