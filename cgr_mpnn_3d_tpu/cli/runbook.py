@@ -56,6 +56,26 @@ def run(args) -> dict:
     summary: dict = {"gates": {}, "config": vars(args).copy(),
                      "started": time.strftime("%Y-%m-%d %H:%M:%S")}
 
+    # 0. featurizer drift gate: the moment this runs on a host with RDKit
+    # (the reference's perception engine), every vector of the vendored
+    # differential corpus is re-derived from RDKit and compared — a wrong
+    # hybridization/aromaticity rule fails the run-book BEFORE training
+    # (chem/rdkit_check.py; VERDICT r2 #7)
+    from ..chem.rdkit_check import rdkit_available, verify_corpus
+    corpus = (Path(__file__).resolve().parent.parent.parent / "tests"
+              / "corpus_reactions.csv")
+    if rdkit_available() and corpus.exists():
+        print("== RDKit detected: verifying featurizer against the "
+              "differential corpus")
+        rep = verify_corpus(str(corpus))   # raises FeaturizerDrift loudly
+        summary["featurizer_rdkit_check"] = rep
+        print(f"== featurizer parity vs RDKit OK ({rep['checked']} "
+              f"reactions)")
+    else:
+        summary["featurizer_rdkit_check"] = "skipped (no rdkit here)"
+        print("== RDKit not importable: featurizer drift gate skipped "
+              "(self-refereed corpus tests still apply)")
+
     # 1. data acquisition (network) when any split is missing
     missing = [s for s in ("train", "val", "test")
                if not (data / f"{s}.csv").exists()]

@@ -26,6 +26,13 @@ across grid steps:
 
 Restriction: ReLU activation only (the reference's default and headline
 config); other activations use the semi-fused path.
+
+Edge-partitioned variant (:func:`fused_conv_layer_r`): the distributed layer
+(parallel/ep_pack.py) is ``t = M @ h + S @ r`` where ``r`` is the per-node
+boundary correction (remote incoming-sum partials landed by the ring
+exchange) and S the src one-hot over the pack's node tile — a second tiny
+MXU matmul in the same kernel, so the EP hot path runs at fused-kernel
+speed with only the wire as XLA glue (VERDICT r2 #1).
 """
 
 from __future__ import annotations
@@ -38,7 +45,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["FusedConvSpec", "fused_conv_layer"]
+__all__ = ["FusedConvSpec", "fused_conv_layer", "fused_conv_layer_r"]
 
 
 @dataclass(frozen=True)
@@ -51,6 +58,7 @@ class FusedConvSpec:
     mat_dtype: object = jnp.bfloat16
     out_dtype: object = jnp.float32
     interpret: bool = False
+    tn: int = 0                 # node-tile rows of r (fused_conv_layer_r)
 
     @property
     def keep(self) -> float:
@@ -250,3 +258,199 @@ def _fcl_bwd(spec, res, g):
 
 
 fused_conv_layer.defvjp(_fcl_fwd, _fcl_bwd)
+
+
+# ---------------------------------------------------------------------------
+# edge-partitioned variant: t = M @ h + S @ r  (r = boundary correction)
+# ---------------------------------------------------------------------------
+
+def _build_st(send_ref, base, tn, dtype):
+    """S^T [tn, te]: +1 where senders[e] == node slot (row 0 of the
+    transposed senders block; remaining rows are sentinel padding)."""
+    il = send_ref[:] - base
+    te = send_ref.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tn, te), 0)
+    return (rows == il[0:1, :]).astype(dtype)
+
+
+def _fwd_kernel_r(idx_ref, send_ref, h_ref, r_ref, h0_ref, w_ref, b_ref,
+                  skip_ref, seed_ref, out_ref, *, spec: FusedConvSpec,
+                  te: int):
+    p = pl.program_id(0)
+    md = spec.mat_dtype
+    mt = _build_mt(idx_ref, p * te, te, spec.d_nbr, md)
+    st = _build_st(send_ref, p * spec.tn, spec.tn, md)
+    t = jax.lax.dot_general(mt, h_ref[:].astype(md),
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    t = t + jax.lax.dot_general(st, r_ref[:].astype(md),
+                                dimension_numbers=(((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    pre = jax.lax.dot_general(t.astype(md), w_ref[:].astype(md),
+                              dimension_numbers=(((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    pre = pre + b_ref[:].astype(jnp.float32)
+    pre = pre + skip_ref[0, 0] * h0_ref[:].astype(jnp.float32)
+    out = jnp.maximum(pre, 0.0)
+    if spec.use_dropout:
+        bits = _hash_bits(out.shape, seed_ref[0, 0], p)
+        thresh = jnp.uint32(min(int(spec.dropout_p * 2**32), 2**32 - 1))
+        out = jnp.where(bits >= thresh, out * (1.0 / spec.keep), 0.0)
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def _bwd_kernel_r(idx_ref, send_ref, h_ref, r_ref, h0_ref, w_ref, out_ref,
+                  g_ref, skip_ref, dh_ref, dr_ref, dh0_ref, dw_ref, db_ref,
+                  dskip_ref, *, spec: FusedConvSpec, te: int):
+    p = pl.program_id(0)
+    md = spec.mat_dtype
+    scale = (1.0 / spec.keep) if spec.use_dropout else 1.0
+    dpre = jnp.where(out_ref[:].astype(jnp.float32) > 0.0,
+                     g_ref[:].astype(jnp.float32) * scale, 0.0)
+
+    mt = _build_mt(idx_ref, p * te, te, spec.d_nbr, md)
+    st = _build_st(send_ref, p * spec.tn, spec.tn, md)
+    dt = jax.lax.dot_general(dpre.astype(md), w_ref[:].astype(md),
+                             dimension_numbers=(((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dh_ref[:] = jax.lax.dot_general(
+        mt, dt.astype(md), dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dh_ref.dtype)
+    dr_ref[:] = jax.lax.dot_general(
+        st, dt.astype(md), dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dr_ref.dtype)
+    dh0_ref[:] = (skip_ref[0, 0] * dpre).astype(dh0_ref.dtype)
+
+    t = jax.lax.dot_general(mt, h_ref[:].astype(md),
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    t = t + jax.lax.dot_general(st, r_ref[:].astype(md),
+                                dimension_numbers=(((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    dw_p = jax.lax.dot_general(t.astype(md), dpre.astype(md),
+                               dimension_numbers=(((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    db_p = jnp.sum(dpre, axis=0, keepdims=True)
+    dskip_p = jnp.sum(dpre * h0_ref[:].astype(jnp.float32))
+
+    @pl.when(p == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+        dskip_ref[:] = jnp.zeros_like(dskip_ref)
+
+    dw_ref[:] += dw_p.astype(dw_ref.dtype)
+    db_ref[:] += db_p.astype(db_ref.dtype)
+    dskip_ref[:] += dskip_p.astype(dskip_ref.dtype)
+
+
+def _fwd_call_r(spec: FusedConvSpec, idx_t, send_t, h, r, h0, w, b, skip,
+                seed):
+    PD, te = idx_t.shape
+    d_pad = PD // spec.p
+    s_pad = send_t.shape[0] // spec.p
+    H = w.shape[1]
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_r, spec=spec, te=te),
+        grid=(spec.p,),
+        in_specs=[
+            pl.BlockSpec((d_pad, te), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_pad, te), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((te, h.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((spec.tn, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((te, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w.shape[0], H), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((te, H), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((spec.p * te, H), spec.out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * spec.p * te * ((te + spec.tn) * h.shape[1]
+                                     + h.shape[1] * H),
+            bytes_accessed=spec.p * (te * (h.shape[1] + 2 * H)
+                                     + spec.tn * H) * 4,
+            transcendentals=0),
+        interpret=spec.interpret,
+    )(idx_t, send_t, h, r, h0, w, b.reshape(1, H), skip.reshape(1, 1),
+      seed.reshape(1, 1).astype(jnp.int32))
+
+
+def _bwd_call_r(spec: FusedConvSpec, idx_t, send_t, h, r, h0, w, skip, out,
+                g):
+    PD, te = idx_t.shape
+    d_pad = PD // spec.p
+    s_pad = send_t.shape[0] // spec.p
+    H = w.shape[1]
+    Hin = w.shape[0]
+    blk = lambda shape, imap: pl.BlockSpec(shape, imap,
+                                           memory_space=pltpu.VMEM)
+    per_pack = lambda width: blk((te, width), lambda i: (i, 0))
+    per_node = lambda width: blk((spec.tn, width), lambda i: (i, 0))
+    fixed = lambda rr, c: blk((rr, c), lambda i: (0, 0))
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((spec.p * te, Hin), spec.out_dtype),      # dh
+        jax.ShapeDtypeStruct((spec.p * spec.tn, H), jnp.float32),      # dr
+        jax.ShapeDtypeStruct((spec.p * te, H), spec.out_dtype),        # dh0
+        jax.ShapeDtypeStruct((Hin, H), jnp.float32),                   # dW
+        jax.ShapeDtypeStruct((1, H), jnp.float32),                     # db
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),                     # dskip
+    )
+    out_specs = (per_pack(Hin), per_node(H), per_pack(H), fixed(Hin, H),
+                 fixed(1, H), fixed(1, 1))
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel_r, spec=spec, te=te),
+        grid=(spec.p,),
+        in_specs=[
+            blk((d_pad, te), lambda i: (i, 0)),
+            blk((s_pad, te), lambda i: (i, 0)),
+            per_pack(Hin), per_node(H), per_pack(H), fixed(Hin, H),
+            per_pack(H), per_pack(H),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * spec.p * te * (te + spec.tn) * H
+            + 4 * spec.p * te * H * Hin,
+            bytes_accessed=spec.p * te * 6 * H * 4,
+            transcendentals=0),
+        interpret=spec.interpret,
+    )(idx_t, send_t, h, r, h0, w, out, g, skip.reshape(1, 1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_conv_layer_r(spec: FusedConvSpec, h, r, h0, idx_t, send_t, w, b,
+                       skip, seed):
+    """h_next = dropout(relu((M @ h + S @ r) @ w + b + skip * h0)).
+
+    Edge-partitioned layer: ``r`` [p*tn, H] carries the boundary correction
+    per node slot (zero off the cut); ``send_t`` the transposed senders
+    rows (node slots, built by ep_pack's packer)."""
+    return _fwd_call_r(spec, idx_t, send_t, h, r, h0, w, b, skip, seed)
+
+
+def _fclr_fwd(spec, h, r, h0, idx_t, send_t, w, b, skip, seed):
+    out = _fwd_call_r(spec, idx_t, send_t, h, r, h0, w, b, skip, seed)
+    return out, (h, r, h0, idx_t, send_t, w, skip, out)
+
+
+def _fclr_bwd(spec, res, g):
+    h, r, h0, idx_t, send_t, w, skip, out = res
+    dh, dr, dh0, dw, db, dskip = _bwd_call_r(spec, idx_t, send_t, h, r, h0,
+                                             w, skip, out, g)
+    return (dh.astype(h.dtype), dr.astype(r.dtype), dh0.astype(h0.dtype),
+            None, None, dw.astype(w.dtype), db.reshape(-1).astype(w.dtype),
+            dskip.astype(skip.dtype).reshape(skip.shape), None)
+
+
+fused_conv_layer_r.defvjp(_fclr_fwd, _fclr_bwd)

@@ -690,6 +690,13 @@ def ep_pack_forward(params: dict, b: EPPackedBatch, cfg: CGRMPNNConfig,
     else:
         drop_keys = [None] * cfg.depth
 
+    # fully-fused conv layers (ops/pallas_fused.py): the whole reference
+    # layer runs as ONE kernel per pack with the boundary correction r
+    # entering as a second one-hot matmul (t = M h + S r), so the EP hot
+    # path executes at fused-kernel speed and only the wire is XLA glue
+    use_fused = (cfg.use_pallas and cfg.activation == "ReLU"
+                 and cfg.aggr == "add")
+
     def linear(p, z):
         return (jnp.dot(z.astype(dt), p["w"].astype(dt),
                         preferred_element_type=jnp.float32)
@@ -705,22 +712,100 @@ def ep_pack_forward(params: dict, b: EPPackedBatch, cfg: CGRMPNNConfig,
                 + p["b"].astype(jnp.float32))
 
     x = b.node_x.astype(dt)
-    x_src = src_gather(x)                                    # [PE, F]
-    h0 = act(linear_cat(params["edge_init"], x_src, b.edge_attr))
-    h = h0
-    for l in range(cfg.depth):
-        a = with_halo(complete(h))
-        t = src_gather(a) - pairswap(h)
-        h_new = linear(params["convs"][l], t)
-        if cfg.use_learnable_skip:
-            h = h_new + params["skip_weights"][l] * h0
-        else:
-            h = h_new + h0
-        h = act(h)
-        if drop_keys[l] is not None and cfg.dropout_ps[l] > 0.0:
-            keep = 1.0 - cfg.dropout_ps[l]
-            mask = jax.random.bernoulli(drop_keys[l], keep, h.shape)
-            h = jnp.where(mask, h / keep, 0.0)
+    if use_fused:
+        from ..ops.pallas_fused import (FusedConvSpec, fused_conv_layer,
+                                        fused_conv_layer_r)
+        from ..ops.pallas_glin import GatherLinearSpec, fused_gather_linear
+        from ..ops.pallas_ops import build_idx_t
+
+        PE, PN, H = spec.pe, spec.pn, cfg.hidden
+        md = jnp.bfloat16 if dt == jnp.bfloat16 else jnp.float32
+        store_dt = dt if dt == jnp.bfloat16 else jnp.float32
+
+        # message index rows once per step: in-edges of src(e) + rev(e)
+        ninc_ext = jnp.concatenate(
+            [b.node_inc, jnp.full((1, spec.d), PE, jnp.int32)], axis=0)
+        msg = jnp.take(ninc_ext, b.senders, axis=0, mode="clip")
+        rev_col = jnp.where(b.senders < PN,
+                            jnp.arange(PE, dtype=jnp.int32) ^ 1, PE)
+        msg_t = build_idx_t(msg, rev_col, spec.p)
+
+        def correction(h):
+            """r [PN, H]: remote incoming-sum partials per node slot —
+            received rows on owned boundary slots, (pulled complete − local
+            partial) on halo slots; zero elsewhere.  The kernel's M supplies
+            every local contribution, so M h + S r is the complete sum."""
+            h_ext = ext_zero_row(h.astype(jnp.float32))
+            wire_inc = jnp.take(ninc_ext, b.wire_send_slot, axis=0,
+                                mode="clip")
+            p_wire = jnp.take(h_ext, wire_inc, axis=0, mode="clip"
+                              ).sum(axis=1)                       # [TW, H]
+            recv = exchange(p_wire)
+            serve_inc = jnp.take(ninc_ext, b.recv_dst_slot, axis=0,
+                                 mode="clip")
+            p_serve = jnp.take(h_ext, serve_inc, axis=0, mode="clip"
+                               ).sum(axis=1)
+            ell_ext = jnp.concatenate(
+                [b.recv_add_ell,
+                 jnp.full((1, spec.dr), spec.tw, jnp.int32)], axis=0)
+            serve_add = jnp.take(ell_ext, b.recv_dst_slot, axis=0,
+                                 mode="clip")
+            recv_ext = ext_zero_row(recv)
+            served = p_serve + jnp.take(recv_ext, serve_add, axis=0,
+                                        mode="clip").sum(axis=1)
+            pulled = exchange(served, inverse=True)
+            buf = jnp.zeros((PN + 1, H), jnp.float32)
+            buf = buf.at[b.recv_dst_slot].add(recv)       # sentinel -> PN
+            buf = buf.at[b.wire_send_slot].add(pulled - p_wire)
+            return buf[:PN]
+
+        glspec = GatherLinearSpec(p=spec.p, d_nbr=1, mat_dtype=md,
+                                  out_dtype=store_dt,
+                                  interpret=cfg.pallas_interpret)
+        wei = params["edge_init"]["w"]
+        F = x.shape[1]
+        h0 = fused_gather_linear(glspec, x, b.edge_attr.astype(dt),
+                                 b.send_t, wei[:F], wei[F:],
+                                 params["edge_init"]["b"])
+        h0 = h0.astype(store_dt)
+        do_train = train and rng is not None
+        fbase = dict(p=spec.p, d_nbr=spec.d, tn=spec.tn,
+                     learnable_skip=cfg.use_learnable_skip, mat_dtype=md,
+                     out_dtype=store_dt, interpret=cfg.pallas_interpret)
+        h = h0
+        for l in range(cfg.depth):
+            fspec = FusedConvSpec(dropout_p=cfg.dropout_ps[l],
+                                  train=do_train, **fbase)
+            skip_l = (params["skip_weights"][l]
+                      if cfg.use_learnable_skip
+                      else jnp.ones((), jnp.float32))
+            seed_l = (jax.random.randint(drop_keys[l], (), 0, 2**31 - 1,
+                                         dtype=jnp.int32)
+                      if do_train else jnp.zeros((), jnp.int32))
+            wl, bl = params["convs"][l]["w"], params["convs"][l]["b"]
+            if has_wire:
+                h = fused_conv_layer_r(fspec, h, correction(h), h0, msg_t,
+                                       b.send_t, wl, bl, skip_l, seed_l)
+            else:
+                h = fused_conv_layer(fspec, h, h0, msg_t, wl, bl, skip_l,
+                                     seed_l)
+    else:
+        x_src = src_gather(x)                                # [PE, F]
+        h0 = act(linear_cat(params["edge_init"], x_src, b.edge_attr))
+        h = h0
+        for l in range(cfg.depth):
+            a = with_halo(complete(h))
+            t = src_gather(a) - pairswap(h)
+            h_new = linear(params["convs"][l], t)
+            if cfg.use_learnable_skip:
+                h = h_new + params["skip_weights"][l] * h0
+            else:
+                h = h_new + h0
+            h = act(h)
+            if drop_keys[l] is not None and cfg.dropout_ps[l] > 0.0:
+                keep = 1.0 - cfg.dropout_ps[l]
+                mask = jax.random.bernoulli(drop_keys[l], keep, h.shape)
+                h = jnp.where(mask, h / keep, 0.0)
 
     s = complete(h)                                          # [PN, H] owned
     hn = act(linear_cat(params["edge_to_node"], x, s))

@@ -146,10 +146,99 @@ def test_giant_graph_spans_all_shards(aggr):
 
 
 def test_pallas_interpret_matches_xla(small_case):
+    # ReLU + add -> this drives the FUSED path (fused_conv_layer[_r],
+    # fused_gather_linear) in interpret mode, wire included
     graphs, labels, cfg, params, ref = small_case
     cfgp = make_cfg(use_pallas=True, pallas_interpret=True)
     got, _ = ep_preds(graphs, labels, params, cfgp, 4)
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_fused_gradients_with_wire_match_reference():
+    """Fused EP layers (t = M h + S r) must reproduce the single-device
+    gradients exactly when graphs span every shard (non-empty wire, the
+    boundary correction r actually exercised through its VJP)."""
+    rng = np.random.default_rng(11)
+    graphs = [chain_graph(80, rng), chain_graph(33, rng)] + synthetic_graphs(
+        6, rng, node_feat_dim=NF)
+    labels = [0.7 * i - 2.0 for i in range(len(graphs))]
+    cfg = make_cfg(use_pallas=True, pallas_interpret=True)
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    n_ep = 4
+    b, espec = pack_shard_edges(graphs, labels, n_ep, te=64, tn=32)
+    assert any(c > 0 for c in espec.caps)   # wire exercised
+    mesh = make_mesh(n_dp=1, n_ep=n_ep, devices=jax.devices()[:n_ep])
+    pspec = jax.tree_util.tree_map(lambda _: P("ep"), b)
+
+    def loss_sharded(params, bb):
+        def f(p, bl):
+            local = jax.tree_util.tree_map(lambda v: v[0], bl)
+            sse, _ = ep_pack_forward(p, local, cfg, espec, axis="ep")
+            return jax.lax.psum(sse / n_ep, "ep")
+
+        return jax.shard_map(f, mesh=mesh, in_specs=(P(), pspec),
+                             out_specs=P(), check_vma=False)(params, bb)
+
+    g_ep = jax.jit(jax.grad(loss_sharded))(params, b)
+
+    cfg_ref = make_cfg()
+    spec1 = plan_spec(graphs, te=1024, tn=512, tb=len(graphs))
+    spec1 = spec1.with_packs(packs_needed(graphs, spec1, fill_target=0.6) + 2)
+    b1 = pack_graphs(graphs, labels, spec1)
+
+    def loss_ref(params):
+        preds = model_apply(params, b1, cfg_ref, spec1)
+        err = (preds - b1.labels) * b1.graph_mask
+        return jnp.sum(err * err)
+
+    g_ref = jax.jit(jax.grad(loss_ref))(params)
+    for a, r in zip(jax.tree_util.tree_leaves(g_ep),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_fused_giant_graph_spans_all_shards():
+    rng = np.random.default_rng(5)
+    graphs = [chain_graph(300, rng)] + synthetic_graphs(
+        6, rng, node_feat_dim=NF)
+    labels = [0.5 * i for i in range(len(graphs))]
+    cfg = make_cfg(use_pallas=True, pallas_interpret=True)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    ref = single_device_preds(graphs, labels, params, make_cfg())
+    got, espec = ep_preds(graphs, labels, params, cfg, 8)
+    assert espec.caps[0] > 0
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_fused_learnable_skip_gradient():
+    """skip_weights flow through the fused kernel's dskip accumulator."""
+    rng = np.random.default_rng(13)
+    graphs = synthetic_graphs(8, rng, node_feat_dim=NF)
+    labels = [0.1 * i for i in range(len(graphs))]
+    cfgp = make_cfg(use_pallas=True, pallas_interpret=True,
+                    use_learnable_skip=True)
+    cfgr = make_cfg(use_learnable_skip=True)
+    params = init_params(jax.random.PRNGKey(4), cfgp)
+    n_ep = 2
+    b, espec = pack_shard_edges(graphs, labels, n_ep, te=64, tn=32)
+    mesh = make_mesh(n_dp=1, n_ep=n_ep, devices=jax.devices()[:n_ep])
+    pspec = jax.tree_util.tree_map(lambda _: P("ep"), b)
+
+    def loss(cfg):
+        def outer(params, bb):
+            def f(p, bl):
+                local = jax.tree_util.tree_map(lambda v: v[0], bl)
+                sse, _ = ep_pack_forward(p, local, cfg, espec, axis="ep")
+                return jax.lax.psum(sse / n_ep, "ep")
+            return jax.shard_map(f, mesh=mesh, in_specs=(P(), pspec),
+                                 out_specs=P(), check_vma=False)(params, bb)
+        return jax.jit(jax.grad(outer))(params, b)
+
+    gp, gr = loss(cfgp), loss(cfgr)
+    np.testing.assert_allclose(np.asarray(gp["skip_weights"]),
+                               np.asarray(gr["skip_weights"]),
+                               atol=1e-4, rtol=1e-4)
 
 
 def test_wire_is_cut_bounded_on_skewed_cut():
