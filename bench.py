@@ -106,7 +106,7 @@ def _bench_parallel(args, graphs, n_edges_real, nf) -> None:
     use_pallas = not args.no_pallas and not args.cpu
     cfg = CGRMPNNConfig(
         num_node_features=nf, num_edge_features=14, depth=4,
-        hidden_sizes=(400,) * 4, dropout_ps=(0.0,) * 4,
+        hidden_sizes=(args.hidden,) * 4, dropout_ps=(0.0,) * 4,
         compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16"
         else jnp.float32,
         use_pallas=use_pallas, pallas_sub_packs=args.q)
@@ -211,6 +211,10 @@ def main() -> None:
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
     ap.add_argument("--mace-dim", type=int, default=192)
+    ap.add_argument("--hidden", type=int, default=400,
+                    help="hidden size (400 = reference flagship; 512 = "
+                         "TPU-native flagship, fills the 128-lane MXU "
+                         "exactly instead of padding 400->512)")
     ap.add_argument("--te", type=int, default=128,
                     help="edge slots per pack (message matmul is O(te) per "
                          "edge -> smaller tiles win until fill drops)")
@@ -296,7 +300,7 @@ def main() -> None:
     use_pallas = not args.no_pallas and not args.cpu
     cfg = CGRMPNNConfig(
         num_node_features=nf, num_edge_features=14, depth=4,
-        hidden_sizes=(400,) * 4, dropout_ps=(0.0,) * 4,
+        hidden_sizes=(args.hidden,) * 4, dropout_ps=(0.0,) * 4,
         compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16"
         else jnp.float32,
         use_pallas=use_pallas, pallas_sub_packs=args.q)

@@ -13,6 +13,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <string>
 #include <vector>
 
@@ -79,12 +80,20 @@ extern "C" int cgr_pack_graphs(
       cgr_set_error("graph has more nodes than dn");
       return -1;
     }
+    // best-fit: tightest post-placement edge slack, ties by node slack
+    // then lowest index (mirrors data/batch.py's np.argmin first-min)
     int32_t pk = -1;
+    int64_t best = std::numeric_limits<int64_t>::max();
     for (int32_t q = 0; q < p; ++q) {
       if (e_fill[q] + ne <= te && n_fill[q] + nn <= tn &&
           g_fill[q] + 1 <= tb) {
-        pk = q;
-        break;
+        const int64_t key =
+            static_cast<int64_t>(te - e_fill[q] - ne) * (tn + 1) +
+            (tn - n_fill[q] - nn);
+        if (key < best) {
+          best = key;
+          pk = q;
+        }
       }
     }
     if (pk < 0) {

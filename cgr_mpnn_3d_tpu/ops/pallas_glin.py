@@ -27,7 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["GatherLinearSpec", "fused_gather_linear"]
+__all__ = ["GatherLinearSpec", "fused_gather_linear",
+           "fused_gather_linear_r"]
 
 
 @dataclass(frozen=True)
@@ -194,3 +195,152 @@ def _fgl_bwd(spec, res, g):
 
 
 fused_gather_linear.defvjp(_fgl_fwd, _fgl_bwd)
+
+
+# ---------------------------------------------------------------------------
+# edge-partitioned variant: out = relu((G @ xa + xr) @ wa + xb @ wb + b)
+# xr rows align with the out rows — the EP readout's boundary correction
+# (received remote incoming-sum partials on owned slots, ep_pack.py)
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel_r(idx_ref, xa_ref, xr_ref, xb_ref, wa_ref, wb_ref, b_ref,
+                  out_ref, *, spec: GatherLinearSpec, ca: int):
+    p = pl.program_id(0)
+    md = spec.mat_dtype
+    g = _build_g(idx_ref, p * ca, ca, spec.d_nbr, md)
+    t1 = jax.lax.dot_general(g, xa_ref[:].astype(md),
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    t1 = t1 + xr_ref[:].astype(jnp.float32)
+    pre = jax.lax.dot_general(t1.astype(md), wa_ref[:].astype(md),
+                              dimension_numbers=(((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    pre = pre + jax.lax.dot_general(
+        xb_ref[:].astype(md), wb_ref[:].astype(md),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    pre = pre + b_ref[:].astype(jnp.float32)
+    out_ref[:] = jnp.maximum(pre, 0.0).astype(out_ref.dtype)
+
+
+def _bwd_kernel_r(idx_ref, xa_ref, xr_ref, xb_ref, wa_ref, wb_ref, out_ref,
+                  g_ref, dxa_ref, dxr_ref, dxb_ref, dwa_ref, dwb_ref, db_ref,
+                  *, spec: GatherLinearSpec, ca: int):
+    p = pl.program_id(0)
+    md = spec.mat_dtype
+    dpre = jnp.where(out_ref[:].astype(jnp.float32) > 0.0,
+                     g_ref[:].astype(jnp.float32), 0.0)
+    gmat = _build_g(idx_ref, p * ca, ca, spec.d_nbr, md)
+
+    dt = jax.lax.dot_general(dpre.astype(md), wa_ref[:].astype(md),
+                             dimension_numbers=(((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dxr_ref[:] = dt.astype(dxr_ref.dtype)
+    dxa_ref[:] = jax.lax.dot_general(
+        gmat, dt.astype(md), dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dxa_ref.dtype)
+    dxb_ref[:] = jax.lax.dot_general(
+        dpre.astype(md), wb_ref[:].astype(md),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dxb_ref.dtype)
+
+    t1 = jax.lax.dot_general(gmat, xa_ref[:].astype(md),
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    t1 = t1 + xr_ref[:].astype(jnp.float32)
+    dwa_p = jax.lax.dot_general(t1.astype(md), dpre.astype(md),
+                                dimension_numbers=(((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    dwb_p = jax.lax.dot_general(xb_ref[:].astype(md), dpre.astype(md),
+                                dimension_numbers=(((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    db_p = jnp.sum(dpre, axis=0, keepdims=True)
+
+    @pl.when(p == 0)
+    def _():
+        dwa_ref[:] = jnp.zeros_like(dwa_ref)
+        dwb_ref[:] = jnp.zeros_like(dwb_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    dwa_ref[:] += dwa_p
+    dwb_ref[:] += dwb_p
+    db_ref[:] += db_p
+
+
+def _fwd_call_r(spec, idx_t, xa, xr, xb, wa, wb, b):
+    PD, R = idx_t.shape
+    d_pad = PD // spec.p
+    CA, FA = xa.shape
+    ca = CA // spec.p
+    FB = xb.shape[1]
+    H = wa.shape[1]
+    per_r = lambda w_: pl.BlockSpec((R, w_), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+    base = _specs(spec, d_pad, R, ca, FA, FB, H)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_r, spec=spec, ca=ca),
+        grid=(spec.p,),
+        in_specs=base[:2] + [per_r(H)] + base[2:] + [
+            pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM)],
+        out_specs=per_r(H),
+        out_shape=jax.ShapeDtypeStruct((spec.p * R, H), spec.out_dtype),
+        interpret=spec.interpret,
+    )(idx_t, xa, xr, xb, wa, wb, b.reshape(1, H))
+
+
+def _bwd_call_r(spec, idx_t, xa, xr, xb, wa, wb, out, g):
+    PD, R = idx_t.shape
+    d_pad = PD // spec.p
+    CA, FA = xa.shape
+    ca = CA // spec.p
+    FB = xb.shape[1]
+    H = wa.shape[1]
+    per_r = lambda w_: pl.BlockSpec((R, w_), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+    fixed = lambda a_, b_: pl.BlockSpec((a_, b_), lambda i: (0, 0),
+                                        memory_space=pltpu.VMEM)
+    out_shapes = (
+        jax.ShapeDtypeStruct((CA, FA), spec.out_dtype),          # dxa
+        jax.ShapeDtypeStruct((spec.p * R, H), jnp.float32),      # dxr
+        jax.ShapeDtypeStruct((spec.p * R, FB), spec.out_dtype),  # dxb
+        jax.ShapeDtypeStruct((FA, H), jnp.float32),              # dWa
+        jax.ShapeDtypeStruct((FB, H), jnp.float32),              # dWb
+        jax.ShapeDtypeStruct((1, H), jnp.float32),               # db
+    )
+    out_specs = (
+        pl.BlockSpec((ca, FA), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        per_r(H), per_r(FB), fixed(FA, H), fixed(FB, H), fixed(1, H),
+    )
+    base = _specs(spec, d_pad, R, ca, FA, FB, H)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel_r, spec=spec, ca=ca),
+        grid=(spec.p,),
+        in_specs=base[:2] + [per_r(H)] + base[2:] + [per_r(H), per_r(H)],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=spec.interpret,
+    )(idx_t, xa, xr, xb, wa, wb, out, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_gather_linear_r(spec: GatherLinearSpec, xa, xr, xb, idx_t, wa, wb,
+                          b):
+    """relu((G @ xa + xr) @ wa + xb @ wb + b); xr aligned with out rows."""
+    return _fwd_call_r(spec, idx_t, xa, xr, xb, wa, wb, b)
+
+
+def _fglr_fwd(spec, xa, xr, xb, idx_t, wa, wb, b):
+    out = _fwd_call_r(spec, idx_t, xa, xr, xb, wa, wb, b)
+    return out, (xa, xr, xb, idx_t, wa, wb, out)
+
+
+def _fglr_bwd(spec, res, g):
+    xa, xr, xb, idx_t, wa, wb, out = res
+    dxa, dxr, dxb, dwa, dwb, db = _bwd_call_r(spec, idx_t, xa, xr, xb, wa,
+                                              wb, out, g)
+    return (dxa.astype(xa.dtype), dxr.astype(xr.dtype), dxb.astype(xb.dtype),
+            None, dwa.astype(wa.dtype), dwb.astype(wb.dtype),
+            db.reshape(-1).astype(wa.dtype))
+
+
+fused_gather_linear_r.defvjp(_fglr_fwd, _fglr_bwd)

@@ -271,10 +271,17 @@ def pack_shard_edges(graphs: Sequence[GraphArrays], labels: Sequence[float],
         n_fill: list[int] = []
         for f in order:
             fe_, fn_ = 2 * int(frag_pairs[f]), int(frag_nodes[f])
-            for pk in range(len(e_fill)):
-                if e_fill[pk] + fe_ <= te and n_fill[pk] + fn_ <= tn:
-                    break
-            else:
+            # best-fit-decreasing (ties: node slack, then index — matches
+            # data/batch.py): tightest edge slack wins, recovering fill at
+            # small per-shard tiles where first-fit strands slack
+            pk, best = -1, None
+            for q in range(len(e_fill)):
+                if e_fill[q] + fe_ <= te and n_fill[q] + fn_ <= tn:
+                    key = (te - e_fill[q] - fe_) * (tn + 1) \
+                        + (tn - n_fill[q] - fn_)
+                    if best is None or key < best:
+                        pk, best = q, key
+            if pk < 0:
                 pk = len(e_fill)
                 e_fill.append(0)
                 n_fill.append(0)
@@ -713,9 +720,9 @@ def ep_pack_forward(params: dict, b: EPPackedBatch, cfg: CGRMPNNConfig,
 
     x = b.node_x.astype(dt)
     if use_fused:
-        from ..ops.pallas_fused import (FusedConvSpec, fused_conv_layer,
-                                        fused_conv_layer_r)
-        from ..ops.pallas_glin import GatherLinearSpec, fused_gather_linear
+        from ..ops.pallas_fused import FusedConvSpec, fused_conv_layer_r
+        from ..ops.pallas_glin import (GatherLinearSpec, fused_gather_linear,
+                                       fused_gather_linear_r)
         from ..ops.pallas_ops import build_idx_t
 
         PE, PN, H = spec.pe, spec.pn, cfg.hidden
@@ -730,17 +737,28 @@ def ep_pack_forward(params: dict, b: EPPackedBatch, cfg: CGRMPNNConfig,
                             jnp.arange(PE, dtype=jnp.int32) ^ 1, PE)
         msg_t = build_idx_t(msg, rev_col, spec.p)
 
-        def correction(h):
-            """r [PN, H]: remote incoming-sum partials per node slot —
-            received rows on owned boundary slots, (pulled complete − local
-            partial) on halo slots; zero elsewhere.  The kernel's M supplies
-            every local contribution, so M h + S r is the complete sum."""
+        def push_recv(h):
+            """Wire-row local partials of the halo slots + the push hop."""
             h_ext = ext_zero_row(h.astype(jnp.float32))
             wire_inc = jnp.take(ninc_ext, b.wire_send_slot, axis=0,
                                 mode="clip")
             p_wire = jnp.take(h_ext, wire_inc, axis=0, mode="clip"
                               ).sum(axis=1)                       # [TW, H]
-            recv = exchange(p_wire)
+            return h_ext, p_wire, exchange(p_wire)
+
+        def recv_only(h):
+            """r_s [PN, H]: received remote partials on owned slots (the
+            readout pools owned slots only, so no pull hop is needed)."""
+            _, _, recv = push_recv(h)
+            buf = jnp.zeros((PN + 1, H), jnp.float32)
+            return buf.at[b.recv_dst_slot].add(recv)[:PN]
+
+        def correction(h):
+            """r [PN, H]: remote incoming-sum partials per node slot —
+            received rows on owned boundary slots, (pulled complete − local
+            partial) on halo slots; zero elsewhere.  The kernel's M supplies
+            every local contribution, so M h + S r is the complete sum."""
+            h_ext, p_wire, recv = push_recv(h)
             serve_inc = jnp.take(ninc_ext, b.recv_dst_slot, axis=0,
                                  mode="clip")
             p_serve = jnp.take(h_ext, serve_inc, axis=0, mode="clip"
@@ -769,26 +787,46 @@ def ep_pack_forward(params: dict, b: EPPackedBatch, cfg: CGRMPNNConfig,
                                  params["edge_init"]["b"])
         h0 = h0.astype(store_dt)
         do_train = train and rng is not None
-        fbase = dict(p=spec.p, d_nbr=spec.d, tn=spec.tn,
-                     learnable_skip=cfg.use_learnable_skip, mat_dtype=md,
-                     out_dtype=store_dt, interpret=cfg.pallas_interpret)
-        h = h0
-        for l in range(cfg.depth):
-            fspec = FusedConvSpec(dropout_p=cfg.dropout_ps[l],
-                                  train=do_train, **fbase)
-            skip_l = (params["skip_weights"][l]
-                      if cfg.use_learnable_skip
-                      else jnp.ones((), jnp.float32))
-            seed_l = (jax.random.randint(drop_keys[l], (), 0, 2**31 - 1,
-                                         dtype=jnp.int32)
-                      if do_train else jnp.zeros((), jnp.int32))
-            wl, bl = params["convs"][l]["w"], params["convs"][l]["b"]
-            if has_wire:
+
+        def seed_for(l):
+            return (jax.random.randint(drop_keys[l], (), 0, 2**31 - 1,
+                                       dtype=jnp.int32)
+                    if do_train else jnp.zeros((), jnp.int32))
+
+        skips = (jnp.stack(params["skip_weights"])
+                 if cfg.use_learnable_skip
+                 else jnp.ones((cfg.depth,), jnp.float32))
+        if not has_wire:
+            # no boundary at this mesh width (static in the spec): the
+            # whole depth runs as ONE stack kernel — edge state never
+            # leaves VMEM between layers (ops/pallas_stack.py), same as
+            # the single-chip path
+            from ..ops.pallas_stack import ConvStackSpec, fused_conv_stack
+            sspec = ConvStackSpec(
+                p=spec.p, d_nbr=spec.d, depth=cfg.depth,
+                dropout_ps=tuple(cfg.dropout_ps), train=do_train,
+                learnable_skip=cfg.use_learnable_skip, mat_dtype=md,
+                out_dtype=store_dt, interpret=cfg.pallas_interpret)
+            w_stack = jnp.stack([params["convs"][l]["w"]
+                                 for l in range(cfg.depth)])
+            b_stack = jnp.stack([params["convs"][l]["b"]
+                                 for l in range(cfg.depth)])
+            seeds = jnp.stack([seed_for(l) for l in range(cfg.depth)])
+            h = fused_conv_stack(sspec, h0, msg_t, w_stack, b_stack,
+                                 skips, seeds)
+        else:
+            fbase = dict(p=spec.p, d_nbr=spec.d, tn=spec.tn,
+                         learnable_skip=cfg.use_learnable_skip,
+                         mat_dtype=md, out_dtype=store_dt,
+                         interpret=cfg.pallas_interpret)
+            h = h0
+            for l in range(cfg.depth):
+                fspec = FusedConvSpec(dropout_p=cfg.dropout_ps[l],
+                                      train=do_train, **fbase)
+                wl, bl = params["convs"][l]["w"], params["convs"][l]["b"]
                 h = fused_conv_layer_r(fspec, h, correction(h), h0, msg_t,
-                                       b.send_t, wl, bl, skip_l, seed_l)
-            else:
-                h = fused_conv_layer(fspec, h, h0, msg_t, wl, bl, skip_l,
-                                     seed_l)
+                                       b.send_t, wl, bl, skips[l],
+                                       seed_for(l))
     else:
         x_src = src_gather(x)                                # [PE, F]
         h0 = act(linear_cat(params["edge_init"], x_src, b.edge_attr))
@@ -807,8 +845,22 @@ def ep_pack_forward(params: dict, b: EPPackedBatch, cfg: CGRMPNNConfig,
                 mask = jax.random.bernoulli(drop_keys[l], keep, h.shape)
                 h = jnp.where(mask, h / keep, 0.0)
 
-    s = complete(h)                                          # [PN, H] owned
-    hn = act(linear_cat(params["edge_to_node"], x, s))
+    if use_fused:
+        # fused readout: relu((Inc @ h + r_s) @ W_s + x @ W_x + b) in one
+        # kernel — only the push hop is needed (pooling reads owned slots)
+        r_s = (recv_only(h) if has_wire
+               else jnp.zeros((PN, H), jnp.float32))
+        wes = params["edge_to_node"]["w"]
+        F = x.shape[1]
+        rspec = GatherLinearSpec(p=spec.p, d_nbr=spec.d, mat_dtype=md,
+                                 out_dtype=jnp.float32,
+                                 interpret=cfg.pallas_interpret)
+        hn = fused_gather_linear_r(rspec, h, r_s, x, b.inc_t,
+                                   wes[F:], wes[:F],
+                                   params["edge_to_node"]["b"])
+    else:
+        s = complete(h)                                      # [PN, H] owned
+        hn = act(linear_cat(params["edge_to_node"], x, s))
     pool = node_partial_sum(hn, b.graph_nodes, b.node_graph)  # [B, H]
     # ffn bias split as b/n_ep so per-shard autodiff + gradient psum is exact
     z = jnp.dot(pool.astype(dt), params["ffn"]["w"].astype(dt),

@@ -145,12 +145,14 @@ def test_giant_graph_spans_all_shards(aggr):
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
 
 
-def test_pallas_interpret_matches_xla(small_case):
-    # ReLU + add -> this drives the FUSED path (fused_conv_layer[_r],
-    # fused_gather_linear) in interpret mode, wire included
+@pytest.mark.parametrize("n_ep", [1, 4])
+def test_pallas_interpret_matches_xla(small_case, n_ep):
+    # ReLU + add -> this drives the FUSED path in interpret mode: at
+    # n_ep=1 (no wire) the whole-depth stack kernel, at n_ep=4 the
+    # per-layer fused_conv_layer_r with the boundary correction
     graphs, labels, cfg, params, ref = small_case
     cfgp = make_cfg(use_pallas=True, pallas_interpret=True)
-    got, _ = ep_preds(graphs, labels, params, cfgp, 4)
+    got, _ = ep_preds(graphs, labels, params, cfgp, n_ep)
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
 
 

@@ -132,5 +132,80 @@ def main():
         print(f"{name:34s} {best/STEPS*1e3:8.3f} ms/iter", file=sys.stderr)
 
 
+def profile_fused():
+    """Post-fusion breakdown (run with --fused)."""
+    nf = 78 + 192
+    rng = np.random.default_rng(0)
+    graphs = synthetic_graphs(2500, rng, node_feat_dim=nf)
+    graphs.sort(key=lambda g: -g.num_edges)
+    b, spec = pack_shard_edges(graphs, [0.0] * len(graphs), 1,
+                               te=128, tn=64)
+    local = jax.tree_util.tree_map(lambda v: jax.device_put(v[0]), b)
+    cfg = CGRMPNNConfig(num_node_features=nf, num_edge_features=14, depth=4,
+                        hidden_sizes=(400,) * 4, dropout_ps=(0.0,) * 4,
+                        compute_dtype=jnp.bfloat16, use_pallas=True)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    H = 400
+    PE, PN = spec.pe, spec.pn
+    md = jnp.bfloat16
+
+    from cgr_mpnn_3d_tpu.ops.pallas_fused import (FusedConvSpec,
+                                                  fused_conv_layer)
+    from cgr_mpnn_3d_tpu.ops.pallas_glin import (GatherLinearSpec,
+                                                 fused_gather_linear,
+                                                 fused_gather_linear_r)
+    from cgr_mpnn_3d_tpu.ops.pallas_ops import build_idx_t
+
+    ninc_ext = jnp.concatenate(
+        [local.node_inc, jnp.full((1, spec.d), PE, jnp.int32)], axis=0)
+
+    def mk_msg_t(h):
+        msg = jnp.take(ninc_ext, local.senders, axis=0, mode="clip")
+        rev_col = jnp.where(local.senders < PN,
+                            jnp.arange(PE, dtype=jnp.int32) ^ 1, PE)
+        out = build_idx_t(msg, rev_col, spec.p)
+        return out.astype(jnp.int32) + (0 * h[0, 0]).astype(jnp.int32)
+
+    h = jnp.ones((PE, H), jnp.bfloat16)
+    hn = jnp.ones((PN, H), jnp.float32)
+    x = jnp.ones((PN, nf), jnp.bfloat16)
+    timed("msg_t build", mk_msg_t, h)
+
+    msg = jnp.take(ninc_ext, local.senders, axis=0, mode="clip")
+    rev_col = jnp.where(local.senders < PN,
+                        jnp.arange(PE, dtype=jnp.int32) ^ 1, PE)
+    msg_t = jax.device_put(np.asarray(build_idx_t(msg, rev_col, spec.p)))
+
+    fspec = FusedConvSpec(p=spec.p, d_nbr=spec.d, tn=spec.tn,
+                          mat_dtype=md, out_dtype=jnp.bfloat16)
+    seed = jnp.zeros((), jnp.int32)
+    skip = jnp.ones((), jnp.float32)
+    wl, bl = params["convs"][0]["w"], params["convs"][0]["b"]
+    timed("fused_conv_layer fwd", lambda hh: fused_conv_layer(
+        fspec, hh, hh, msg_t, wl, bl, skip, seed), h)
+
+    rspec = GatherLinearSpec(p=spec.p, d_nbr=spec.d, mat_dtype=md,
+                             out_dtype=jnp.float32)
+    wes = params["edge_to_node"]["w"]
+    r_s = jnp.zeros((PN, H), jnp.float32)
+    timed("readout glin_r fwd", lambda hh: fused_gather_linear_r(
+        rspec, hh, r_s, x, local.inc_t, wes[nf:], wes[:nf],
+        params["edge_to_node"]["b"]), h)
+
+    timed("pool ELL fwd", lambda nn: node_partial_sum(
+        nn, local.graph_nodes, local.node_graph), hn)
+
+    glspec = GatherLinearSpec(p=spec.p, d_nbr=1, mat_dtype=md,
+                              out_dtype=jnp.bfloat16)
+    wei = params["edge_init"]["w"]
+    timed("edge_init glin fwd", lambda xx: fused_gather_linear(
+        glspec, xx, local.edge_attr.astype(md), local.send_t,
+        wei[:nf], wei[nf:], params["edge_init"]["b"]), x)
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _s
+    if "--fused" in _s.argv:
+        profile_fused()
+    else:
+        main()
