@@ -218,7 +218,10 @@ def main() -> None:
     ap.add_argument("--te", type=int, default=128,
                     help="edge slots per pack (message matmul is O(te) per "
                          "edge -> smaller tiles win until fill drops)")
-    ap.add_argument("--tn", type=int, default=64)
+    ap.add_argument("--tn", type=int, default=72,
+                    help="node slots per pack; fill is NODE-bound at "
+                         "tn=64 (edge fill 0.94) — 72 recovers 0.97 "
+                         "(best-fit packers), measured +1% (r3)")
     ap.add_argument("--tb", type=int, default=8)
     ap.add_argument("--q", type=int, default=4,
                     help="sub-packs fused per kernel grid step: message "

@@ -84,7 +84,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
                          "concurrent inter-chip RDMAs instead of the "
                          "ppermute ring (TPU only; "
                          "parallel/rdma_exchange.py)")
-    ap.add_argument("--ep_tn", default=64, type=int,
+    ap.add_argument("--ep_tn", default=72, type=int,
                     help="EP pack tile: node slots per pack")
     ap.add_argument("--steps_per_call", default=1, type=int,
                     help="train steps per device dispatch (lax.scan); >1 "

@@ -287,7 +287,7 @@ class EPPackLoader(_BaseEPLoader):
     ``spec`` is the pinned :class:`~.ep_pack.EPPackSpec`; the trainer keys
     its jitted step on it and rebuilds on growth (one recompile)."""
     te: int = 128
-    tn: int = 64
+    tn: int = 72
     spec: EPPackSpec | None = field(default=None)
 
     def _has_pins(self) -> bool:
