@@ -315,7 +315,8 @@ class EPPackLoader(_BaseEPLoader):
                 nat, p=max(1, int(np.ceil(nat.p * _HEADROOM))),
                 d=gro(nat.d), d2=gro(nat.d2), dr=gro(nat.dr),
                 dn=gro(nat.dn), b=self.batch_size,
-                caps=tuple(gro(c) if c else 0 for c in nat.caps))
+                caps=tuple(gro(c) if c else 0 for c in nat.caps),
+                gp=gro(nat.gp), kg=gro(nat.kg))
         else:
             if nat.te > cur.te or nat.tn > cur.tn:
                 # natural build auto-grew the tile (giant fragment)
@@ -327,7 +328,8 @@ class EPPackLoader(_BaseEPLoader):
                 dr=max(cur.dr, gro(nat.dr)), dn=max(cur.dn, gro(nat.dn)),
                 b=max(cur.b, self.batch_size),
                 caps=tuple(max(c, gro(n) if n else 0)
-                           for c, n in zip(cur.caps, nat.caps)))
+                           for c, n in zip(cur.caps, nat.caps)),
+                gp=max(cur.gp, gro(nat.gp)), kg=max(cur.kg, gro(nat.kg)))
         self.te, self.tn = self.spec.te, self.spec.tn
 
     def _filler(self, like: EPPackedBatch) -> EPPackedBatch:

@@ -79,6 +79,8 @@ class EPPackSpec:
     dn: int = 64             # ELL width: max owned nodes of one graph/shard
     b: int = 32              # graph slots
     caps: tuple[int, ...] = ()   # per-hop wire rows, len n_ep-1, 8-aligned
+    gp: int = 8              # pool groups (fragments) per pack (fused pool)
+    kg: int = 8              # ELL width: max fragments of one graph/shard
 
     @property
     def pn(self) -> int:
@@ -119,6 +121,9 @@ class EPPackedBatch(NamedTuple):
     inv_deg: np.ndarray        # [n_ep, PN] f32  1/in-degree on owned slots
     labels: np.ndarray         # [n_ep, B]       identical copies
     graph_mask: np.ndarray     # [n_ep, B]
+    node_group: np.ndarray     # [n_ep, PN]      pool group pack*GP+g of owned
+                               #                 slot (sent p*GP; fused pool)
+    graph_frag: np.ndarray     # [n_ep, B, KG]   pool groups per graph (s p*GP)
 
 
 def _np_idx_t(idx: np.ndarray, p: int) -> np.ndarray:
@@ -212,7 +217,7 @@ def pack_shard_edges(graphs: Sequence[GraphArrays], labels: Sequence[float],
     # ---- pass 1a: per-shard fragments ---------------------------------------
     F, Fe = x.shape[1], e_attr.shape[1]
     sh: list[dict] = []
-    nat = dict(p=1, d=1, d2=1, dn=1)
+    nat = dict(p=1, d=1, d2=1, dn=1, gp=1)
     max_frag_e = max_frag_n = 1
     for k in range(n_ep):
         lo = min(k * block, NT)
@@ -313,7 +318,22 @@ def pack_shard_edges(graphs: Sequence[GraphArrays], labels: Sequence[float],
         else:
             order_p = np.zeros(0, np.int64)
             s0 = np.zeros(0, np.int64)
-        s.update(slot=slot, order_p=order_p, s0=s0, p_used=p_used)
+        # pool groups: fragments of a pack numbered by fragment id (the
+        # fused readout pools each fragment in-kernel; parallel/ep_pack
+        # fused path) — owned slots carry pack*GP+group
+        if ncomp:
+            go = np.lexsort((np.arange(ncomp), pack_of_frag))
+            gcnt = np.bincount(pack_of_frag, minlength=p_used)
+            gstart = np.concatenate([[0], np.cumsum(gcnt)[:-1]])
+            grank = np.arange(ncomp) - np.repeat(gstart, gcnt)
+            group_of_frag = np.empty(ncomp, np.int64)
+            group_of_frag[go] = grank
+            nat["gp"] = max(nat.get("gp", 1), int(gcnt.max(initial=1)))
+        else:
+            group_of_frag = np.zeros(0, np.int64)
+            nat["gp"] = max(nat.get("gp", 1), 1)
+        s.update(slot=slot, order_p=order_p, s0=s0, p_used=p_used,
+                 pof=pack_of_frag, gof=group_of_frag)
 
     # ---- wire caps (hop h moves k -> (k+h) % n_ep rows) ----------------------
     counts = np.zeros((n_ep, n_ep), np.int64)       # [shard, hop]
@@ -341,10 +361,13 @@ def pack_shard_edges(graphs: Sequence[GraphArrays], labels: Sequence[float],
     p_cap = spec.p if spec else nat["p"]
     b_cap = spec.b if spec else n_graphs
     dn_cap = spec.dn if spec else nat["dn"]
+    gp_cap = spec.gp if spec else _r8(nat["gp"])
     if spec is not None:
         _check("ELL dn", nat["dn"], spec.dn)
+        _check("pool gp", nat["gp"], spec.gp)
     caps = spec.caps if spec else nat_caps
     PN, PE, TW = p_cap * tn, p_cap * te, int(sum(caps))
+    g_sent = p_cap * gp_cap      # pool-group sentinel
     hop_off = np.concatenate([[0], np.cumsum(caps)]).astype(np.int64)
 
     # ---- pass 2: emit arrays -------------------------------------------------
@@ -359,9 +382,11 @@ def pack_shard_edges(graphs: Sequence[GraphArrays], labels: Sequence[float],
     node_graph = np.full((n_ep, PN), b_cap, np.int32)
     inv_deg = np.zeros((n_ep, PN), np.float32)
     graph_nodes = np.empty((n_ep, b_cap, dn_cap), np.int32)
+    node_group = np.full((n_ep, PN), g_sent, np.int32)
 
-    d_nat = d2_nat = dr_nat = 1
+    d_nat = d2_nat = dr_nat = kg_nat = 1
     inc_rows, inc_vals, out_rows, out_vals = [], [], [], []
+    gf_rows, gf_vals = [], []
     for k in range(n_ep):
         s = sh[k]
         slot, uni = s["slot"], s["uni"]
@@ -397,6 +422,24 @@ def pack_shard_edges(graphs: Sequence[GraphArrays], labels: Sequence[float],
         dg = deg[s["owned"]]
         nz = dg > 0
         inv_deg[k, oslot[nz]] = (1.0 / dg[nz]).astype(np.float32)
+        # fused-pool tables: owned slots carry pack*GP+group of their
+        # fragment; per-graph fragment lists feed the cross-pack combine
+        comp, pof, gof = s["comp"], s["pof"], s["gof"]
+        if s["n_own"]:
+            gid_local = pof[comp] * gp_cap + gof[comp]      # per local node
+            node_group[k, oslot] = gid_local[:s["n_own"]]
+        if s["ncomp"]:
+            fi = np.full(s["ncomp"], s["n_local"], np.int64)
+            np.minimum.at(fi, comp, np.arange(s["n_local"]))
+            frag_graph = graph_of[s["uni"][fi]]
+            frag_gid = pof * gp_cap + gof
+            kg_nat = max(kg_nat, int(np.bincount(
+                frag_graph, minlength=1).max(initial=1)))
+            gf_rows.append(frag_graph)
+            gf_vals.append(frag_gid)
+        else:
+            gf_rows.append(np.zeros(0, np.int64))
+            gf_vals.append(np.zeros(0, np.int64))
         # wire: this shard's halo rows, hop-grouped, v-ascending both sides
         rem = s["remotes"]
         if len(rem):
@@ -446,11 +489,13 @@ def pack_shard_edges(graphs: Sequence[GraphArrays], labels: Sequence[float],
     d_cap = spec.d if spec else d_nat
     d2_cap = spec.d2 if spec else d2_nat
     dr_cap = spec.dr if spec else dr_nat
+    kg_cap = spec.kg if spec else kg_nat
     if spec is not None:
         _check("ELL d", d_nat, spec.d)
         _check("ELL d2", d2_nat, spec.d2)
         _check("ELL dr", dr_nat, spec.dr)
         _check("ELL dn", nat["dn"], spec.dn)
+        _check("pool kg", kg_nat, spec.kg)
 
     node_inc = np.empty((n_ep, PN, d_cap), np.int32)
     node_out = np.empty((n_ep, PN, d2_cap), np.int32)
@@ -465,10 +510,15 @@ def pack_shard_edges(graphs: Sequence[GraphArrays], labels: Sequence[float],
              else np.zeros(0, np.int64))
         recv_add_ell[k] = _ell_pack(r, v, PN, dr_cap, TW, "recv_add_ell")
 
+    graph_frag = np.empty((n_ep, b_cap, kg_cap), np.int32)
+    for k in range(n_ep):
+        graph_frag[k] = _ell_pack(gf_rows[k], gf_vals[k], b_cap, kg_cap,
+                                  g_sent, "graph_frag")
+
     if out_spec is None:
         out_spec = EPPackSpec(n_ep=n_ep, te=te, tn=tn, p=p_cap, d=d_cap,
                               d2=d2_cap, dr=dr_cap, dn=dn_cap, b=b_cap,
-                              caps=caps)
+                              caps=caps, gp=gp_cap, kg=kg_cap)
 
     send_t = np.stack([_np_idx_t(senders[k][:, None], p_cap)
                        for k in range(n_ep)])
@@ -486,7 +536,8 @@ def pack_shard_edges(graphs: Sequence[GraphArrays], labels: Sequence[float],
                          send_t, dst_t, inc_t, out_t, wire_send_slot,
                          recv_dst_slot, recv_add_ell, halo_pull_idx,
                          halo_mask, graph_nodes, node_graph, inv_deg,
-                         labels_out, graph_mask), out_spec
+                         labels_out, graph_mask, node_group,
+                         graph_frag), out_spec
 
 
 def empty_ep_pack_batch(spec: EPPackSpec, n_feat: int, e_feat: int
@@ -517,7 +568,9 @@ def empty_ep_pack_batch(spec: EPPackSpec, n_feat: int, e_feat: int
         node_graph=np.full((n_ep, PN), B, np.int32),
         inv_deg=np.zeros((n_ep, PN), np.float32),
         labels=np.zeros((n_ep, B), np.float32),
-        graph_mask=np.zeros((n_ep, B), np.float32))
+        graph_mask=np.zeros((n_ep, B), np.float32),
+        node_group=np.full((n_ep, PN), spec.p * spec.gp, np.int32),
+        graph_frag=np.full((n_ep, B, spec.kg), spec.p * spec.gp, np.int32))
 
 
 def wire_bytes_per_layer(spec: EPPackSpec, hidden: int,
@@ -722,7 +775,7 @@ def ep_pack_forward(params: dict, b: EPPackedBatch, cfg: CGRMPNNConfig,
     if use_fused:
         from ..ops.pallas_fused import FusedConvSpec, fused_conv_layer_r
         from ..ops.pallas_glin import (GatherLinearSpec, fused_gather_linear,
-                                       fused_gather_linear_r)
+                                       fused_gather_linear_pool)
         from ..ops.pallas_ops import build_idx_t
 
         PE, PN, H = spec.pe, spec.pn, cfg.hidden
@@ -846,22 +899,32 @@ def ep_pack_forward(params: dict, b: EPPackedBatch, cfg: CGRMPNNConfig,
                 h = jnp.where(mask, h / keep, 0.0)
 
     if use_fused:
-        # fused readout: relu((Inc @ h + r_s) @ W_s + x @ W_x + b) in one
-        # kernel — only the push hop is needed (pooling reads owned slots)
+        # fused readout + POOL: relu((Inc @ h + r_s) @ W_s + x @ W_x + b)
+        # and the pack-local fragment pool in ONE kernel — only the push
+        # hop is needed (pooling reads owned slots); fragment partials
+        # combine across packs via the tiny [B, KG] ELL below, replacing
+        # the [B, DN]-over-nodes gather that dominated EP glue time
         r_s = (recv_only(h) if has_wire
                else jnp.zeros((PN, H), jnp.float32))
         wes = params["edge_to_node"]["w"]
         F = x.shape[1]
         rspec = GatherLinearSpec(p=spec.p, d_nbr=spec.d, mat_dtype=md,
                                  out_dtype=jnp.float32,
-                                 interpret=cfg.pallas_interpret)
-        hn = fused_gather_linear_r(rspec, h, r_s, x, b.inc_t,
-                                   wes[F:], wes[:F],
-                                   params["edge_to_node"]["b"])
+                                 interpret=cfg.pallas_interpret,
+                                 gp=spec.gp)
+        # transposed 8-row node-group table (Mosaic sublane rule; row 0 =
+        # values, rows 1-7 sentinel), same layout as the index tables
+        ng = jnp.full((spec.p, 8, spec.tn), spec.p * spec.gp, jnp.int32)
+        ng = ng.at[:, 0, :].set(b.node_group.reshape(spec.p, spec.tn))
+        _, pool_part = fused_gather_linear_pool(
+            rspec, h, r_s, x, b.inc_t, ng.reshape(spec.p * 8, spec.tn),
+            wes[F:], wes[:F], params["edge_to_node"]["b"])
+        pool = jnp.take(ext_zero_row(pool_part), b.graph_frag, axis=0,
+                        mode="clip").sum(axis=1)              # [B, H]
     else:
         s = complete(h)                                      # [PN, H] owned
         hn = act(linear_cat(params["edge_to_node"], x, s))
-    pool = node_partial_sum(hn, b.graph_nodes, b.node_graph)  # [B, H]
+        pool = node_partial_sum(hn, b.graph_nodes, b.node_graph)  # [B, H]
     # ffn bias split as b/n_ep so per-shard autodiff + gradient psum is exact
     z = jnp.dot(pool.astype(dt), params["ffn"]["w"].astype(dt),
                 preferred_element_type=jnp.float32) \
@@ -873,7 +936,8 @@ def ep_pack_forward(params: dict, b: EPPackedBatch, cfg: CGRMPNNConfig,
 
 def _batch_pspec():
     return jax.tree_util.tree_map(lambda _: P("dp", "ep"),
-                                  EPPackedBatch(*[0] * 20))
+                                  EPPackedBatch(*[0] * len(
+                                      EPPackedBatch._fields)))
 
 
 def make_ep_pack_train_step(optimizer: optax.GradientTransformation,
