@@ -119,14 +119,25 @@ def _bench_parallel(args, graphs, n_edges_real, nf) -> None:
     labels = [0.0] * len(graphs)
     H = cfg.hidden
 
+    infer = args.mode == "inference"
     if args.parallel == "ep":
-        from cgr_mpnn_3d_tpu.parallel import (make_ep_pack_train_step,
+        from cgr_mpnn_3d_tpu.parallel import (make_ep_pack_eval_step,
+                                              make_ep_pack_train_step,
                                               pack_shard_edges)
         from cgr_mpnn_3d_tpu.parallel.ep_pack import wire_bytes_per_layer
         batch, spec = pack_shard_edges(graphs, labels, ndev,
                                        te=args.te, tn=args.tn)
         mesh = make_mesh(n_dp=1, n_ep=ndev, devices=jax.devices()[:ndev])
-        step = make_ep_pack_train_step(opt, cfg, mesh, spec)
+        if infer:
+            ev = make_ep_pack_eval_step(cfg, mesh, spec)
+
+            def step(state, stacked):
+                sse, _ = ev(state.params, stacked)
+                params = jax.tree_util.tree_map(
+                    lambda a: a + (0.0 * sse).astype(a.dtype), state.params)
+                return state._replace(params=params), sse
+        else:
+            step = make_ep_pack_train_step(opt, cfg, mesh, spec)
         stacked = jax.tree_util.tree_map(lambda v: v[None], batch)
         fill = n_edges_real / (ndev * spec.pe)
         # wire volume: push+pull per conv layer + final push (readout), per
@@ -150,7 +161,17 @@ def _bench_parallel(args, graphs, n_edges_real, nf) -> None:
         stacked = jax.tree_util.tree_map(
             lambda *v: np.stack(v, 0), *per_dev)
         mesh = make_mesh(n_dp=ndev, n_ep=1, devices=jax.devices()[:ndev])
-        step = make_dp_train_step(opt, cfg, mesh, spec=spec)
+        if infer:
+            from cgr_mpnn_3d_tpu.parallel import make_dp_eval_step
+            ev = make_dp_eval_step(cfg, mesh, spec=spec)
+
+            def step(state, stacked):
+                sse = ev(state.params, stacked)
+                params = jax.tree_util.tree_map(
+                    lambda a: a + (0.0 * sse).astype(a.dtype), state.params)
+                return state._replace(params=params), sse
+        else:
+            step = make_dp_train_step(opt, cfg, mesh, spec=spec)
         fill = n_edges_real / (ndev * spec.total_edges)
         wire = 0
         print(f"dp: n_dp={ndev}, p={spec.p} packs/device, fill {fill:.2f}, "
@@ -189,8 +210,9 @@ def _bench_parallel(args, graphs, n_edges_real, nf) -> None:
               f"({agg/ndev/1e6:.2f} per chip x {ndev})", file=sys.stderr)
         best = max(best, agg)
 
+    prefix = "inference_" if infer else ""
     print(json.dumps({
-        "metric": f"{args.parallel}_aggregate_edges_per_s",
+        "metric": f"{prefix}{args.parallel}_aggregate_edges_per_s",
         "value": round(best, 1),
         "unit": "edges/s",
         "vs_baseline": round(best / 1e9, 4),

@@ -117,3 +117,14 @@ def test_ep_forward_and_grads_with_rdma_exchange():
     for a, r in zip(jax.tree_util.tree_leaves(g_got),
                     jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(r))
+
+    # and through the FUSED EP path (fused_conv_layer_r + pooled readout),
+    # where the RDMA exchange carries the boundary correction r
+    l_f, g_f = run(make_cfg(use_pallas=True, pallas_interpret=True,
+                            ep_rdma_exchange=True))
+    np.testing.assert_allclose(np.asarray(l_f), np.asarray(l_ref),
+                               rtol=1e-5)
+    for a, r in zip(jax.tree_util.tree_leaves(g_f),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=1e-4, rtol=1e-4)
