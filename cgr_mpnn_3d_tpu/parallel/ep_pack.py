@@ -209,8 +209,33 @@ def pack_shard_edges(graphs: Sequence[GraphArrays], labels: Sequence[float],
     deg = np.bincount(recv_g, minlength=NT)
 
     # ---- ownership + pair assignment ---------------------------------------
-    block = max(1, int(np.ceil(NT / n_ep)))
-    owner = lambda n: np.minimum(n // block, n_ep - 1)
+    # whole graphs go to the least-loaded shard (LPT, balanced by edges), so
+    # a normal batch has ZERO cut — every shard packs whole graphs exactly
+    # like the single-chip packer (fill + conv-stack fast path).  Only
+    # graphs bigger than an even shard share are striped in contiguous node
+    # chunks over all shards (the "context parallel" case the boundary
+    # exchange exists for).  r2/r3-v1 used blind contiguous node blocks,
+    # which split most graphs and taxed weak scaling ~31% via per-shard
+    # fill; the cut should pay only for graphs that genuinely do not fit.
+    owner_arr = np.empty(NT, np.int32)
+    loads = np.zeros(n_ep, np.int64)
+    giant_cut = max(1, int(np.ceil(n_edges.sum() / n_ep)))
+    for gi in np.argsort(-n_edges, kind="stable"):
+        glo, nn_g = int(node_off[gi]), int(n_nodes[gi])
+        if int(n_edges[gi]) > giant_cut:
+            chunk = max(1, int(np.ceil(nn_g / n_ep)))
+            for k in range(n_ep):
+                a = glo + k * chunk
+                owner_arr[a:glo + min((k + 1) * chunk, nn_g)] = k
+            loads += int(n_edges[gi]) // n_ep
+        else:
+            k = int(np.argmin(loads))
+            owner_arr[glo:glo + nn_g] = k
+            loads[k] += int(n_edges[gi])
+
+    def owner(n):
+        return owner_arr[n]
+
     pair_src, pair_dst = send_g[0::2], recv_g[0::2]
     pair_shard = owner(pair_src)       # pairs live with the even edge's src
 
@@ -220,9 +245,7 @@ def pack_shard_edges(graphs: Sequence[GraphArrays], labels: Sequence[float],
     nat = dict(p=1, d=1, d2=1, dn=1, gp=1)
     max_frag_e = max_frag_n = 1
     for k in range(n_ep):
-        lo = min(k * block, NT)
-        hi = NT if k == n_ep - 1 else min((k + 1) * block, NT)
-        owned = np.arange(lo, hi, dtype=np.int64)
+        owned = np.nonzero(owner_arr == k)[0].astype(np.int64)
         pr = np.nonzero(pair_shard == k)[0]
         u, v = pair_src[pr], pair_dst[pr]            # u always owned by k
         remotes = np.unique(v[owner(v) != k])
@@ -231,7 +254,7 @@ def pack_shard_edges(graphs: Sequence[GraphArrays], labels: Sequence[float],
 
         def lid(nodes):
             own = owner(nodes) == k
-            return np.where(own, nodes - lo,
+            return np.where(own, np.searchsorted(owned, nodes),
                             n_own + np.searchsorted(remotes, nodes))
 
         lu = lid(u).astype(np.int64)
@@ -246,7 +269,7 @@ def pack_shard_edges(graphs: Sequence[GraphArrays], labels: Sequence[float],
         max_frag_n = max(max_frag_n, int(frag_nodes.max(initial=0)))
         nat["dn"] = max(nat["dn"], int(np.bincount(
             graph_of[owned], minlength=1).max(initial=1)))
-        sh.append(dict(lo=lo, owned=owned, remotes=remotes, n_own=n_own,
+        sh.append(dict(owned=owned, remotes=remotes, n_own=n_own,
                        n_local=n_local, pr=pr, lu=lu, lv=lv, comp=comp,
                        ncomp=ncomp, frag_pairs=frag_pairs,
                        frag_nodes=frag_nodes,
@@ -474,7 +497,7 @@ def pack_shard_edges(graphs: Sequence[GraphArrays], labels: Sequence[float],
         for j in np.unique(owners):
             m = owners == j
             sj = sh[j]
-            oslot = sj["slot"][rem_s[m] - sj["lo"]]
+            oslot = sj["slot"][np.searchsorted(sj["owned"], rem_s[m])]
             recv_dst_slot[j, rows[m]] = oslot
             recv_r[j].append(oslot.astype(np.int64))
             recv_v[j].append(rows[m])
