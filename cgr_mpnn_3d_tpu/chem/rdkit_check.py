@@ -151,7 +151,14 @@ def verify_corpus(corpus_csv: str,
         node, edge, send, recv = backend(smi)
 
         def fail(what, a, b):
-            d = np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64))
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            if a.shape != b.shape:
+                # a drifting edge union / atom count is the likeliest real
+                # drift mode — report it as such, not as a broadcast error
+                raise FeaturizerDrift(
+                    f"featurizer drift vs backend on {smi!r}: {what} shapes "
+                    f"disagree (ours {a.shape} vs backend {b.shape})")
+            d = np.abs(a - b)
             raise FeaturizerDrift(
                 f"featurizer drift vs backend on {smi!r}: {what} disagree "
                 f"(max |delta| {d.max():.4g} at {np.unravel_index(d.argmax(), d.shape)})")

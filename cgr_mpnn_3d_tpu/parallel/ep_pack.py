@@ -517,7 +517,6 @@ def pack_shard_edges(graphs: Sequence[GraphArrays], labels: Sequence[float],
         _check("ELL d", d_nat, spec.d)
         _check("ELL d2", d2_nat, spec.d2)
         _check("ELL dr", dr_nat, spec.dr)
-        _check("ELL dn", nat["dn"], spec.dn)
         _check("pool kg", kg_nat, spec.kg)
 
     node_inc = np.empty((n_ep, PN, d_cap), np.int32)

@@ -63,13 +63,21 @@ def _exchange_kernel(buf_ref, out_ref, send_sem, recv_sem, *,
     def peer(h):
         return {axis: (me - h) % n if inverse else (me + h) % n}
 
-    # barrier with every peer this exchange touches: no RDMA may write into
-    # a peer's out_ref before that peer has entered the kernel
+    # barrier with every peer this exchange touches — BOTH directions per
+    # hop: the device we will write to (it must have entered the kernel
+    # before our RDMA lands in its out_ref) AND the device that writes to
+    # us (it must not proceed until we are in).  Signaling only the write
+    # destination would let a writer race a destination that is still in
+    # the previous layer when hops are asymmetric (e.g. caps=(8,0,...)).
     barrier = pltpu.get_barrier_semaphore()
     for h, _, _ in active:
-        pltpu.semaphore_signal(barrier, inc=1, device_id=peer(h),
+        dst = (me - h) % n if inverse else (me + h) % n
+        src = (me + h) % n if inverse else (me - h) % n
+        pltpu.semaphore_signal(barrier, inc=1, device_id={axis: dst},
                                device_id_type=pltpu.DeviceIdType.MESH)
-    pltpu.semaphore_wait(barrier, len(active))
+        pltpu.semaphore_signal(barrier, inc=1, device_id={axis: src},
+                               device_id_type=pltpu.DeviceIdType.MESH)
+    pltpu.semaphore_wait(barrier, 2 * len(active))
 
     # start every hop's RDMA before waiting on any: all boundary traffic is
     # on the wire concurrently (per-hop semaphore slots)
