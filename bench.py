@@ -120,7 +120,53 @@ def _bench_parallel(args, graphs, n_edges_real, nf) -> None:
     H = cfg.hidden
 
     infer = args.mode == "inference"
-    if args.parallel == "ep":
+    if args.parallel == "dpep":
+        from dataclasses import replace
+
+        from cgr_mpnn_3d_tpu.parallel import (make_ep_pack_eval_step,
+                                              make_ep_pack_train_step,
+                                              pack_shard_edges)
+        from cgr_mpnn_3d_tpu.parallel.ep_pack import wire_bytes_per_layer
+        n_ep = args.ep_width
+        if ndev % n_ep:
+            raise SystemExit(f"--ndev {ndev} not divisible by "
+                             f"--ep-width {n_ep}")
+        n_dp = ndev // n_ep
+        groups = [graphs[k::n_dp] for k in range(n_dp)]
+        built = [pack_shard_edges(g, [0.0] * len(g), n_ep,
+                                  te=args.te, tn=args.tn) for g in groups]
+        specs = [s for _, s in built]
+        spec = replace(
+            specs[0],
+            te=max(s.te for s in specs), tn=max(s.tn for s in specs),
+            p=max(s.p for s in specs), d=max(s.d for s in specs),
+            d2=max(s.d2 for s in specs), dr=max(s.dr for s in specs),
+            dn=max(s.dn for s in specs), b=max(s.b for s in specs),
+            gp=max(s.gp for s in specs), kg=max(s.kg for s in specs),
+            caps=tuple(max(c) for c in zip(*[s.caps for s in specs]))
+            if n_ep > 1 else ())
+        shards = [pack_shard_edges(g, [0.0] * len(g), n_ep, spec=spec)[0]
+                  for g in groups]
+        stacked = jax.tree_util.tree_map(lambda *v: np.stack(v, 0), *shards)
+        mesh = make_mesh(n_dp=n_dp, n_ep=n_ep, devices=jax.devices()[:ndev])
+        if infer:
+            ev = make_ep_pack_eval_step(cfg, mesh, spec)
+
+            def step(state, stacked):
+                sse, _ = ev(state.params, stacked)
+                params = jax.tree_util.tree_map(
+                    lambda a: a + (0.0 * sse).astype(a.dtype), state.params)
+                return state._replace(params=params), sse
+        else:
+            step = make_ep_pack_train_step(opt, cfg, mesh, spec)
+        fill = n_edges_real / (ndev * spec.pe)
+        wire = ((2 * cfg.depth + 1) * wire_bytes_per_layer(spec, H) // 2)
+        print(f"dpep: dp={n_dp} x ep={n_ep}, p={spec.p} packs/shard "
+              f"(te={spec.te}, tn={spec.tn}), fill {fill:.2f}, "
+              f"caps={spec.caps} -> wire {wire/1e6:.3f} MB/step/shard, "
+              f"grad psum {n_params * 4 / 1e6:.1f} MB/step",
+              file=sys.stderr)
+    elif args.parallel == "ep":
         from cgr_mpnn_3d_tpu.parallel import (make_ep_pack_eval_step,
                                               make_ep_pack_train_step,
                                               pack_shard_edges)
@@ -260,14 +306,19 @@ def main() -> None:
                     help="train = fwd+bwd+optimizer (the headline metric); "
                          "inference = forward only")
     ap.add_argument("--parallel", default="none",
-                    choices=["none", "ep", "dp"],
+                    choices=["none", "ep", "dp", "dpep"],
                     help="bench a parallel path: ep = edge-partitioned "
                          "train step (pack-local layout + ring exchange), "
-                         "dp = data-parallel step; reports per-chip AND "
-                         "aggregate edges/s plus comm bytes/step")
+                         "dp = data-parallel step, dpep = the combined "
+                         "(dp x ep) mesh step the trainer ships; reports "
+                         "per-chip AND aggregate edges/s plus comm "
+                         "bytes/step")
     ap.add_argument("--ndev", default=1, type=int,
                     help="devices for --parallel (1 on the real chip; up "
                          "to 8 with --cpu for weak-scaling relatives)")
+    ap.add_argument("--ep-width", default=2, type=int,
+                    help="ep axis width for --parallel dpep "
+                         "(dp = ndev / ep-width)")
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU (debug)")
     args = ap.parse_args()
