@@ -364,3 +364,34 @@ def test_train_step_learns_and_reports_gnorm(small_case):
         assert np.isfinite(float(gnorm)) and float(gnorm) > 0
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_fused_train_step_with_dropout_learns(small_case):
+    """Training mode through the FUSED EP path with real dropout (in-kernel
+    hash dropout, per-shard seeds) must stay finite and learn."""
+    graphs, labels, _, _, _ = small_case
+    import optax
+    from cgr_mpnn_3d_tpu.train.trainer import TrainState
+
+    cfg = make_cfg(use_pallas=True, pallas_interpret=True,
+                   dropout_ps=(0.1,) * 3)
+    params = init_params(jax.random.PRNGKey(7), cfg)
+    n_ep = 4
+    # a giant chain forces striping (LPT gives small graphs zero cut)
+    rng = np.random.default_rng(9)
+    graphs = [chain_graph(160, rng)] + list(graphs[:12])
+    labels = [1.0] + list(labels[:12])
+    b, espec = pack_shard_edges(graphs, labels, n_ep, te=64, tn=32)
+    assert any(c > 0 for c in espec.caps)  # wire + dropout together
+    stacked = jax.tree_util.tree_map(lambda v: v[None], b)
+    mesh = make_mesh(n_dp=1, n_ep=n_ep, devices=jax.devices()[:n_ep])
+    opt = optax.adam(1e-3)
+    step = make_ep_pack_train_step(opt, cfg, mesh, espec)
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32),
+                       jax.random.PRNGKey(1))
+    losses = []
+    for _ in range(8):
+        state, loss, gnorm = step(state, stacked)
+        assert np.isfinite(float(loss)) and np.isfinite(float(gnorm))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
