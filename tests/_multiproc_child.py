@@ -79,9 +79,56 @@ def main():
     checksum = float(sum(float(jnp.sum(jnp.abs(leaf)))
                          for leaf in jax.tree_util.tree_leaves(
                              new_state.params)))
+
+    # ---- EP phase: the ring boundary exchange crosses the process
+    # boundary (mesh (dp=1, ep=2) pairing one device from EACH process;
+    # a striped giant chain guarantees a non-empty cut) ----
+    from jax.sharding import Mesh
+    from cgr_mpnn_3d_tpu.chem.featurize import GraphArrays
+    from cgr_mpnn_3d_tpu.parallel import (make_ep_pack_train_step,
+                                          pack_shard_edges)
+
+    def chain(n):
+        nb = n - 1
+        send = np.empty(2 * nb, np.int32)
+        recv = np.empty(2 * nb, np.int32)
+        send[0::2] = np.arange(nb)
+        recv[0::2] = np.arange(1, n)
+        send[1::2] = np.arange(1, n)
+        recv[1::2] = np.arange(nb)
+        rng = np.random.default_rng(5)
+        return GraphArrays(rng.normal(size=(n, 78)).astype(np.float32),
+                           rng.normal(size=(2 * nb, 14)).astype(np.float32),
+                           send, recv,
+                           np.arange(2 * nb, dtype=np.int32) ^ 1)
+
+    ep_graphs = [chain(100)] + [graphs[i] for i in range(4)]
+    ep_labels = [2.0] + LABELS[:4]
+    eb, espec = pack_shard_edges(ep_graphs, ep_labels, 2, te=64, tn=32)
+    assert any(c > 0 for c in espec.caps), espec.caps
+    ep_mesh = Mesh(np.asarray(jax.devices())[[0, 2]].reshape(1, 2),
+                   ("dp", "ep"))
+    ep_sharding = NamedSharding(ep_mesh, P("dp", "ep"))
+    my_col = 0 if proc_id == 0 else 1
+    local = jax.tree_util.tree_map(
+        lambda v: v[None][:, my_col:my_col + 1], eb)
+    ep_batch = jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(ep_sharding, x),
+        local)
+    ep_step = make_ep_pack_train_step(opt, cfg, ep_mesh, espec)
+    ep_state = TrainState(params, opt.init(params),
+                          jnp.zeros((), jnp.int32), jax.random.PRNGKey(1))
+    ep_new, ep_loss, _ = ep_step(ep_state, ep_batch)
+    jax.block_until_ready(ep_loss)
+    ep_checksum = float(sum(float(jnp.sum(jnp.abs(leaf)))
+                            for leaf in jax.tree_util.tree_leaves(
+                                ep_new.params)))
+
     multihost.sync_global_devices("done")
     print(f"LOSS {float(loss):.6f}")
     print(f"CHECKSUM {checksum:.6f}")
+    print(f"EPLOSS {float(ep_loss):.6f}")
+    print(f"EPCHECKSUM {ep_checksum:.6f}")
     print(f"PRIMARY {multihost.is_primary()}")
 
 

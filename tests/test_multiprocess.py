@@ -57,6 +57,50 @@ def _single_process_reference():
     return float(loss), checksum
 
 
+def _single_process_ep_reference():
+    """Same EP batch/step as the children, on one process's own 2 devices."""
+    from jax.sharding import Mesh
+
+    from cgr_mpnn_3d_tpu.chem.featurize import GraphArrays
+    from cgr_mpnn_3d_tpu.parallel import (make_ep_pack_train_step,
+                                          pack_shard_edges)
+    from cgr_mpnn_3d_tpu.train import TrainState
+
+    def chain(n):
+        nb = n - 1
+        send = np.empty(2 * nb, np.int32)
+        recv = np.empty(2 * nb, np.int32)
+        send[0::2] = np.arange(nb)
+        recv[0::2] = np.arange(1, n)
+        send[1::2] = np.arange(1, n)
+        recv[1::2] = np.arange(nb)
+        rng = np.random.default_rng(5)
+        return GraphArrays(rng.normal(size=(n, 78)).astype(np.float32),
+                           rng.normal(size=(2 * nb, 14)).astype(np.float32),
+                           send, recv,
+                           np.arange(2 * nb, dtype=np.int32) ^ 1)
+
+    cfg = CGRMPNNConfig(num_node_features=78, num_edge_features=14,
+                        depth=2, hidden_sizes=(16, 16),
+                        dropout_ps=(0.0, 0.0))
+    graphs = [RxnGraph(s).arrays for s in SMILES]
+    ep_graphs = [chain(100)] + graphs[:4]
+    ep_labels = [2.0] + LABELS[:4]
+    eb, espec = pack_shard_edges(ep_graphs, ep_labels, 2, te=64, tn=32)
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(1, 2), ("dp", "ep"))
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(1e-3, 0.0, 1.0, 1)
+    step = make_ep_pack_train_step(opt, cfg, mesh, espec)
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32),
+                       jax.random.PRNGKey(1))
+    stacked = jax.tree_util.tree_map(lambda v: v[None], eb)
+    new_state, loss, _ = step(state, stacked)
+    checksum = float(sum(float(jnp.sum(jnp.abs(leaf)))
+                         for leaf in jax.tree_util.tree_leaves(
+                             new_state.params)))
+    return float(loss), checksum
+
+
 def test_two_process_distributed_training():
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
@@ -78,6 +122,8 @@ def test_two_process_distributed_training():
 
     losses = [float(parse(o, "LOSS")) for o in outs]
     checks = [float(parse(o, "CHECKSUM")) for o in outs]
+    ep_losses = [float(parse(o, "EPLOSS")) for o in outs]
+    ep_checks = [float(parse(o, "EPCHECKSUM")) for o in outs]
     primaries = [parse(o, "PRIMARY") for o in outs]
     # both processes agree bit-for-bit on the psum'd loss and update
     assert losses[0] == losses[1]
@@ -87,3 +133,10 @@ def test_two_process_distributed_training():
     loss_ref, check_ref = _single_process_reference()
     np.testing.assert_allclose(losses[0], loss_ref, rtol=1e-5)
     np.testing.assert_allclose(checks[0], check_ref, rtol=1e-5)
+    # EP phase: the ring boundary exchange crossed the OS-process boundary
+    # and both processes agree with single-process EP on the same batch
+    assert ep_losses[0] == ep_losses[1]
+    assert ep_checks[0] == ep_checks[1]
+    ep_loss_ref, ep_check_ref = _single_process_ep_reference()
+    np.testing.assert_allclose(ep_losses[0], ep_loss_ref, rtol=1e-5)
+    np.testing.assert_allclose(ep_checks[0], ep_check_ref, rtol=1e-5)
