@@ -79,6 +79,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--ep_te", default=128, type=int,
                     help="EP pack tile: edge slots per pack (auto-grows "
                          "when a shard-local graph fragment exceeds it)")
+    ap.add_argument("--ckpt_every_steps", default=0, type=int,
+                    help="preemption safety: save {name}.latest.npz every "
+                         "N successful train steps within an epoch; "
+                         "--resume fast-forwards the deterministic loader "
+                         "and continues bit-identically (0 = per-epoch)")
     ap.add_argument("--ep_rdma", action="store_true",
                     help="--ep boundary exchange as one Pallas kernel of "
                          "concurrent inter-chip RDMAs instead of the "
@@ -183,7 +188,7 @@ def train(args) -> dict:
         model_save_dir=args.save_path, seed=args.seed, logger=logger,
         resume_from=args.resume, steps_per_call=args.steps_per_call,
         n_dp=args.dp, n_ep=args.ep, ep_te=args.ep_te,
-        ep_tn=args.ep_tn)
+        ep_tn=args.ep_tn, ckpt_every_steps=args.ckpt_every_steps)
     return trainer.train()
 
 

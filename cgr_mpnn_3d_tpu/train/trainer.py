@@ -131,7 +131,13 @@ class RxnGraphTrainer:
     n_ep: int = 1
     # EP pack tile (edge/node slots per pack); auto-grows for giant graphs
     ep_te: int = 128
-    ep_tn: int = 64
+    ep_tn: int = 72
+    # preemption safety: save {name}.latest.npz every N successful train
+    # steps WITHIN an epoch (0 = per-epoch only).  Resuming such a
+    # checkpoint fast-forwards the (deterministic) loader to the exact step
+    # and continues bit-identically — the reference cannot resume at all
+    # (SURVEY.md §5 checkpoint row).
+    ckpt_every_steps: int = 0
 
     def __post_init__(self):
         q = max(1, self.cfg.pallas_sub_packs)
@@ -176,6 +182,7 @@ class RxnGraphTrainer:
                                 self._rng)
         self.best_val_loss = float("inf")
         self.start_epoch = 0
+        self._skip_steps = 0
         self._timer = StepTimer()
         if self.resume_from:
             self._resume(self.resume_from)
@@ -287,14 +294,25 @@ class RxnGraphTrainer:
             "epoch": self._epoch_done,
         }
 
-    def save(self, path: str | Path) -> Path:
-        return save_checkpoint(path, self.state, self._ckpt_meta())
+    def save(self, path: str | Path, mid_epoch: tuple | None = None) -> Path:
+        meta = self._ckpt_meta()
+        if mid_epoch is not None:
+            # (epoch in progress, successful steps completed within it)
+            meta["mid_epoch"] = {"epoch": mid_epoch[0],
+                                 "steps_done": mid_epoch[1]}
+        return save_checkpoint(path, self.state, meta)
 
     def _resume(self, path: str) -> None:
         leaves, meta = load_checkpoint(path)
         self.state = restore_into(self.state, leaves)
         self.best_val_loss = float(meta.get("best_val_loss", np.inf))
         self.start_epoch = int(meta.get("epoch", -1)) + 1
+        mid = meta.get("mid_epoch")
+        if mid:
+            # re-enter the interrupted epoch; _train_epoch fast-forwards
+            # the (deterministic) loader past the completed steps
+            self.start_epoch = int(mid["epoch"])
+            self._skip_steps = int(mid["steps_done"])
 
     # -- epochs -----------------------------------------------------------
     def _dp_group(self, it, spec):
@@ -342,7 +360,18 @@ class RxnGraphTrainer:
             for b in pend:       # remainder: single steps
                 yield b, 1
 
+        skip = self._skip_steps if epoch_idx == self.start_epoch else 0
+        if skip:
+            msg = {"event": "resume_mid_epoch", "epoch": epoch_idx,
+                   "skipping_steps": skip}
+            (self.logger.log(msg) if self.logger else print(msg))
+        steps_done = 0
         for batch, n_steps in batch_stream():
+            if steps_done + n_steps <= skip:
+                # fast-forward the deterministic loader past steps already
+                # trained before the mid-epoch checkpoint
+                steps_done += n_steps
+                continue
             if n_steps > 1:
                 new_state, losses, gnorm = self._train_chunk(state, batch)
                 loss = jnp.sum(losses)
@@ -366,6 +395,15 @@ class RxnGraphTrainer:
             state, last_good = new_state, new_state
             total += loss_f
             self._timer.tick()
+            steps_done += n_steps
+            if self.ckpt_every_steps and (
+                    steps_done // self.ckpt_every_steps
+                    > (steps_done - n_steps) // self.ckpt_every_steps):
+                self.state = state
+                self.save(Path(self.model_save_dir)
+                          / f"{self.name}.latest.npz",
+                          mid_epoch=(epoch_idx, steps_done))
+        self._skip_steps = 0
         self.state = state
         rmse = float(np.sqrt(total / len(self.train_data)))
         if self.logger:

@@ -98,6 +98,50 @@ class TestTrainer:
         assert len(out_a["train_losses"]) == 4
         assert len(out_c["train_losses"]) == 2
 
+    def test_mid_epoch_checkpoint_resume_exact(self, demo_ds, spec,
+                                               tmp_path):
+        """Preemption safety: kill a run between mid-epoch checkpoints,
+        resume from {name}.latest.npz, end bit-identical to an
+        uninterrupted run (deterministic loader fast-forward)."""
+        # demo set: 10 graphs, bs 4 -> 3 steps/epoch; ckpt every step
+        tr_a = _mk_trainer(demo_ds, spec, tmp_path, num_epochs=2,
+                           batch_size=4, val_frequency=99,
+                           model_save_dir=str(tmp_path / "ma"))
+        out_a = tr_a.train()
+
+        tr_b = _mk_trainer(demo_ds, spec, tmp_path, num_epochs=2,
+                           batch_size=4, val_frequency=99,
+                           ckpt_every_steps=1,
+                           model_save_dir=str(tmp_path / "mb"))
+        # simulate preemption: raise after the 4th successful step (i.e.
+        # mid-epoch-1, one step into it)
+        real_step = tr_b._train_step
+        calls = {"n": 0}
+
+        def dying(state, batch):
+            if calls["n"] == 4:
+                raise KeyboardInterrupt
+            calls["n"] += 1
+            return real_step(state, batch)
+
+        tr_b._train_step = dying
+        with pytest.raises(KeyboardInterrupt):
+            tr_b.train()
+        ck = tmp_path / "mb" / "CGR-test.latest.npz"
+        meta = json.loads(ck.with_suffix(".json").read_text())
+        assert meta["mid_epoch"] == {"epoch": 1, "steps_done": 1}
+
+        tr_c = _mk_trainer(demo_ds, spec, tmp_path, num_epochs=2,
+                           batch_size=4, val_frequency=99,
+                           resume_from=str(ck),
+                           model_save_dir=str(tmp_path / "mc"))
+        assert tr_c.start_epoch == 1 and tr_c._skip_steps == 1
+        out_c = tr_c.train()
+        for a, c in zip(jax.tree_util.tree_leaves(tr_a.state.params),
+                        jax.tree_util.tree_leaves(tr_c.state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       rtol=1e-6, atol=1e-7)
+
     def test_nan_guard_rolls_back_and_aborts(self, demo_ds, spec, tmp_path):
         import jax.numpy as jnp
         tr = _mk_trainer(demo_ds, spec, tmp_path, num_epochs=1)
