@@ -42,7 +42,7 @@ from .metrics import MetricsLogger
 from .profiler import StepTimer
 
 __all__ = ["TrainState", "RxnGraphTrainer", "make_optimizer", "sse_loss",
-           "set_epoch_lr"]
+           "set_epoch_lr", "scale_by_torch_amsgrad"]
 
 
 class TrainState(NamedTuple):
@@ -50,6 +50,60 @@ class TrainState(NamedTuple):
     opt_state: Any
     step: jax.Array
     rng: jax.Array
+
+
+class ScaleByTorchAmsgradState(NamedTuple):
+    count: jax.Array
+    mu: Any
+    nu: Any
+    nu_max: Any
+
+
+def scale_by_torch_amsgrad(b1: float = 0.9, b2: float = 0.999,
+                           eps: float = 1e-8
+                           ) -> optax.GradientTransformation:
+    """Bit-exact torch.optim.Adam(amsgrad=True) rescaling.
+
+    NOT optax.scale_by_amsgrad: optax maxes the *bias-corrected* second
+    moment (``nu_max = max(nu_max, nu/bc2_t)``), so the step-1 correction
+    1/(1-b2) ~ 1000x inflates nu_max for the rest of training and shrinks
+    every subsequent step.  torch (torch/optim/adam.py `_single_tensor_adam`)
+    maxes the RAW second moment and divides by the *current* bias
+    correction at use time:
+
+        m      = b1 m + (1-b1) g
+        v      = b2 v + (1-b2) g^2
+        vmax   = max(vmax, v)
+        update = (m / bc1_t) / (sqrt(vmax) / sqrt(bc2_t) + eps)
+
+    Verified against live torch in tests/test_optimizer_parity.py."""
+
+    def init_fn(params):
+        z = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)
+        return ScaleByTorchAmsgradState(jnp.zeros((), jnp.int32),
+                                        z(), z(), z())
+
+    def update_fn(updates, state, params=None):
+        del params
+        mu = jax.tree_util.tree_map(
+            lambda g, m: b1 * m + (1.0 - b1) * g, updates, state.mu)
+        nu = jax.tree_util.tree_map(
+            lambda g, v: b2 * v + (1.0 - b2) * (g * g), updates, state.nu)
+        count = state.count + 1
+        nu_max = jax.tree_util.tree_map(jnp.maximum, state.nu_max, nu)
+        t = count.astype(jnp.float32)
+        bc1 = 1.0 - jnp.power(jnp.float32(b1), t)
+        rbc2 = jnp.sqrt(1.0 - jnp.power(jnp.float32(b2), t))
+        out = jax.tree_util.tree_map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v) / rbc2 + eps), mu, nu_max)
+        return out, ScaleByTorchAmsgradState(count, mu, nu, nu_max)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _torch_adam_amsgrad(learning_rate: float) -> optax.GradientTransformation:
+    return optax.chain(scale_by_torch_amsgrad(),
+                       optax.scale_by_learning_rate(learning_rate))
 
 
 def make_optimizer(lr: float, weight_decay: float, gamma: float = 1.0,
@@ -69,7 +123,8 @@ def make_optimizer(lr: float, weight_decay: float, gamma: float = 1.0,
     if weight_decay:
         # torch Adam adds wd*param to the gradient before the moment update
         txs.append(optax.add_decayed_weights(weight_decay))
-    txs.append(optax.inject_hyperparams(optax.amsgrad)(learning_rate=lr))
+    txs.append(optax.inject_hyperparams(_torch_adam_amsgrad)(
+        learning_rate=lr))
     return optax.chain(*txs)
 
 
