@@ -107,6 +107,7 @@ def _bench_parallel(args, graphs, n_edges_real, nf) -> None:
     cfg = CGRMPNNConfig(
         num_node_features=nf, num_edge_features=14, depth=4,
         hidden_sizes=(args.hidden,) * 4, dropout_ps=(0.0,) * 4,
+        activation=args.activation,
         compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16"
         else jnp.float32,
         use_pallas=use_pallas, pallas_sub_packs=args.q)
@@ -301,6 +302,11 @@ def main() -> None:
                     help="Pallas per-layer kernels but NOT the one-kernel "
                          "train step (cheaper Mosaic compile, more HBM "
                          "traffic)")
+    ap.add_argument("-af", "--activation", default="ReLU",
+                    choices=["ReLU", "SiLU", "GELU"],
+                    help="activation function (kernels are activation-"
+                         "general since r4; non-ReLU backward recomputes "
+                         "pre-activations in VMEM)")
     ap.add_argument("--mode", default="train",
                     choices=["train", "inference"],
                     help="train = fwd+bwd+optimizer (the headline metric); "
@@ -377,6 +383,7 @@ def main() -> None:
     cfg = CGRMPNNConfig(
         num_node_features=nf, num_edge_features=14, depth=4,
         hidden_sizes=(args.hidden,) * 4, dropout_ps=(0.0,) * 4,
+        activation=args.activation,
         compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16"
         else jnp.float32,
         use_pallas=use_pallas, pallas_sub_packs=args.q)

@@ -59,6 +59,7 @@ class FusedConvSpec:
     out_dtype: object = jnp.float32
     interpret: bool = False
     tn: int = 0                 # node-tile rows of r (fused_conv_layer_r)
+    act: str = "relu"           # relu | silu | gelu (exact/erf)
 
     @property
     def keep(self) -> float:
@@ -67,6 +68,46 @@ class FusedConvSpec:
     @property
     def use_dropout(self) -> bool:
         return self.train and self.dropout_p > 0.0
+
+
+_SQRT_HALF = 0.7071067811865476
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def k_act(name: str, pre):
+    """In-kernel activation on the f32 pre-activation (VPU elementwise).
+
+    Matches models.cgr_mpnn.ACTIVATIONS bit-for-bit: SiLU = x*sigmoid(x),
+    GELU = exact erf form (torch F.gelu default, GNN.py activation_fn)."""
+    if name == "relu":
+        return jnp.maximum(pre, 0.0)
+    if name == "silu":
+        return pre * jax.lax.logistic(pre)
+    if name == "gelu":
+        return 0.5 * pre * (1.0 + jax.lax.erf(pre * _SQRT_HALF))
+    raise ValueError(f"unsupported kernel activation {name!r}")
+
+
+def k_dact(name: str, pre):
+    """d act(pre) / d pre — used by the backward kernels, which recompute
+    ``pre`` in VMEM (the ReLU path keeps its cheaper out>0 shortcut)."""
+    if name == "relu":
+        return (pre > 0.0).astype(jnp.float32)
+    if name == "silu":
+        s = jax.lax.logistic(pre)
+        return s * (1.0 + pre * (1.0 - s))
+    if name == "gelu":
+        cdf = 0.5 * (1.0 + jax.lax.erf(pre * _SQRT_HALF))
+        pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * pre * pre)
+        return cdf + pre * pdf
+    raise ValueError(f"unsupported kernel activation {name!r}")
+
+
+def k_dropout_mask(shape, seed, pack_id, keep):
+    """Recompute the hash-dropout keep mask (f32 0/1) for a backward pass."""
+    bits = _hash_bits(shape, seed, pack_id)
+    thr = jnp.uint32(min(int((1.0 - keep) * 2**32), 2**32 - 1))
+    return (bits >= thr).astype(jnp.float32)
 
 
 def _build_mt(idx_ref, base, c_tile, d_nbr, dtype):
@@ -114,7 +155,7 @@ def _fwd_kernel(idx_ref, h_ref, h0_ref, w_ref, b_ref, skip_ref, seed_ref,
                               preferred_element_type=jnp.float32)
     pre = pre + b_ref[:].astype(jnp.float32)
     pre = pre + skip_ref[0, 0] * h0_ref[:].astype(jnp.float32)
-    out = jnp.maximum(pre, 0.0)
+    out = k_act(spec.act, pre)
     if spec.use_dropout:
         bits = _hash_bits(out.shape, seed_ref[0, 0], p)
         thresh = jnp.uint32(min(int(spec.dropout_p * 2**32), 2**32 - 1))
@@ -122,17 +163,34 @@ def _fwd_kernel(idx_ref, h_ref, h0_ref, w_ref, b_ref, skip_ref, seed_ref,
     out_ref[:] = out.astype(out_ref.dtype)
 
 
-def _bwd_kernel(idx_ref, h_ref, h0_ref, w_ref, out_ref, g_ref, skip_ref,
-                dh_ref, dh0_ref, dw_ref, db_ref, dskip_ref,
-                *, spec: FusedConvSpec, te: int):
+def _bwd_kernel(idx_ref, h_ref, h0_ref, w_ref, b_ref, out_ref, g_ref,
+                skip_ref, seed_ref, dh_ref, dh0_ref, dw_ref, db_ref,
+                dskip_ref, *, spec: FusedConvSpec, te: int):
     p = pl.program_id(0)
     md = spec.mat_dtype
-    scale = (1.0 / spec.keep) if spec.use_dropout else 1.0
-    # compare in f32: Mosaic (v5e) rejects packed-bf16 cmpf vectors
-    dpre = jnp.where(out_ref[:].astype(jnp.float32) > 0.0,
-                     g_ref[:].astype(jnp.float32) * scale, 0.0)
-
     mt = _build_mt(idx_ref, p * te, te, spec.d_nbr, md)
+    # t recomputed in VMEM for dW (and, for non-ReLU, pre)
+    t = jax.lax.dot_general(mt, h_ref[:].astype(md),
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    scale = (1.0 / spec.keep) if spec.use_dropout else 1.0
+    if spec.act == "relu":
+        # ReLU+dropout fold: out>0 iff kept & pre>0 (f32 compare: Mosaic
+        # on v5e rejects packed-bf16 cmpf vectors)
+        dpre = jnp.where(out_ref[:].astype(jnp.float32) > 0.0,
+                         g_ref[:].astype(jnp.float32) * scale, 0.0)
+    else:
+        pre = jax.lax.dot_general(t.astype(md), w_ref[:].astype(md),
+                                  dimension_numbers=(((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        pre = pre + b_ref[:].astype(jnp.float32)
+        pre = pre + skip_ref[0, 0] * h0_ref[:].astype(jnp.float32)
+        gg = g_ref[:].astype(jnp.float32)
+        if spec.use_dropout:
+            gg = gg * scale * k_dropout_mask(gg.shape, seed_ref[0, 0], p,
+                                             spec.keep)
+        dpre = gg * k_dact(spec.act, pre)
+
     # dt = dpre @ W^T
     dt = jax.lax.dot_general(dpre.astype(md), w_ref[:].astype(md),
                              dimension_numbers=(((1,), (1,)), ((), ())),
@@ -143,10 +201,6 @@ def _bwd_kernel(idx_ref, h_ref, h0_ref, w_ref, out_ref, g_ref, skip_ref,
         preferred_element_type=jnp.float32).astype(dh_ref.dtype)
     dh0_ref[:] = (skip_ref[0, 0] * dpre).astype(dh0_ref.dtype)
 
-    # t recomputed in VMEM for dW
-    t = jax.lax.dot_general(mt, h_ref[:].astype(md),
-                            dimension_numbers=(((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
     dw_p = jax.lax.dot_general(t.astype(md), dpre.astype(md),
                                dimension_numbers=(((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
@@ -196,7 +250,7 @@ def _fwd_call(spec: FusedConvSpec, idx_t, h, h0, w, b, skip, seed):
       seed.reshape(1, 1).astype(jnp.int32))
 
 
-def _bwd_call(spec: FusedConvSpec, idx_t, h, h0, w, skip, out, g):
+def _bwd_call(spec: FusedConvSpec, idx_t, h, h0, w, b, skip, seed, out, g):
     PD, te = idx_t.shape
     d_pad = PD // spec.p
     H = w.shape[1]
@@ -205,6 +259,7 @@ def _bwd_call(spec: FusedConvSpec, idx_t, h, h0, w, skip, out, g):
                                            memory_space=pltpu.VMEM)
     per_pack = lambda width: blk((te, width), lambda i: (i, 0))
     fixed = lambda r, c: blk((r, c), lambda i: (0, 0))
+    smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
 
     out_shapes = (
         jax.ShapeDtypeStruct((spec.p * te, Hin), spec.out_dtype),   # dh
@@ -220,9 +275,8 @@ def _bwd_call(spec: FusedConvSpec, idx_t, h, h0, w, skip, out, g):
         grid=(spec.p,),
         in_specs=[
             blk((d_pad, te), lambda i: (i, 0)),
-            per_pack(Hin), per_pack(H), fixed(Hin, H), per_pack(H),
-            per_pack(H),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            per_pack(Hin), per_pack(H), fixed(Hin, H), fixed(1, H),
+            per_pack(H), per_pack(H), smem, smem,
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
@@ -231,7 +285,8 @@ def _bwd_call(spec: FusedConvSpec, idx_t, h, h0, w, skip, out, g):
             bytes_accessed=spec.p * te * 6 * H * 4,
             transcendentals=0),
         interpret=spec.interpret,
-    )(idx_t, h, h0, w, out, g, skip.reshape(1, 1))
+    )(idx_t, h, h0, w, b.reshape(1, H), out, g, skip.reshape(1, 1),
+      seed.reshape(1, 1).astype(jnp.int32))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -246,12 +301,13 @@ def fused_conv_layer(spec: FusedConvSpec, h, h0, idx_t, w, b, skip, seed):
 
 def _fcl_fwd(spec, h, h0, idx_t, w, b, skip, seed):
     out = _fwd_call(spec, idx_t, h, h0, w, b, skip, seed)
-    return out, (h, h0, idx_t, w, skip, out)
+    return out, (h, h0, idx_t, w, b, skip, seed, out)
 
 
 def _fcl_bwd(spec, res, g):
-    h, h0, idx_t, w, skip, out = res
-    dh, dh0, dw, db, dskip = _bwd_call(spec, idx_t, h, h0, w, skip, out, g)
+    h, h0, idx_t, w, b, skip, seed, out = res
+    dh, dh0, dw, db, dskip = _bwd_call(spec, idx_t, h, h0, w, b, skip, seed,
+                                       out, g)
     return (dh.astype(h.dtype), dh0.astype(h0.dtype), None,
             dw.astype(w.dtype), db.reshape(-1).astype(w.dtype),
             dskip.astype(skip.dtype).reshape(skip.shape), None)
@@ -291,7 +347,7 @@ def _fwd_kernel_r(idx_ref, send_ref, h_ref, r_ref, h0_ref, w_ref, b_ref,
                               preferred_element_type=jnp.float32)
     pre = pre + b_ref[:].astype(jnp.float32)
     pre = pre + skip_ref[0, 0] * h0_ref[:].astype(jnp.float32)
-    out = jnp.maximum(pre, 0.0)
+    out = k_act(spec.act, pre)
     if spec.use_dropout:
         bits = _hash_bits(out.shape, seed_ref[0, 0], p)
         thresh = jnp.uint32(min(int(spec.dropout_p * 2**32), 2**32 - 1))
@@ -299,17 +355,36 @@ def _fwd_kernel_r(idx_ref, send_ref, h_ref, r_ref, h0_ref, w_ref, b_ref,
     out_ref[:] = out.astype(out_ref.dtype)
 
 
-def _bwd_kernel_r(idx_ref, send_ref, h_ref, r_ref, h0_ref, w_ref, out_ref,
-                  g_ref, skip_ref, dh_ref, dr_ref, dh0_ref, dw_ref, db_ref,
-                  dskip_ref, *, spec: FusedConvSpec, te: int):
+def _bwd_kernel_r(idx_ref, send_ref, h_ref, r_ref, h0_ref, w_ref, b_ref,
+                  out_ref, g_ref, skip_ref, seed_ref, dh_ref, dr_ref,
+                  dh0_ref, dw_ref, db_ref, dskip_ref,
+                  *, spec: FusedConvSpec, te: int):
     p = pl.program_id(0)
     md = spec.mat_dtype
-    scale = (1.0 / spec.keep) if spec.use_dropout else 1.0
-    dpre = jnp.where(out_ref[:].astype(jnp.float32) > 0.0,
-                     g_ref[:].astype(jnp.float32) * scale, 0.0)
-
     mt = _build_mt(idx_ref, p * te, te, spec.d_nbr, md)
     st = _build_st(send_ref, p * spec.tn, spec.tn, md)
+    t = jax.lax.dot_general(mt, h_ref[:].astype(md),
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    t = t + jax.lax.dot_general(st, r_ref[:].astype(md),
+                                dimension_numbers=(((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    scale = (1.0 / spec.keep) if spec.use_dropout else 1.0
+    if spec.act == "relu":
+        dpre = jnp.where(out_ref[:].astype(jnp.float32) > 0.0,
+                         g_ref[:].astype(jnp.float32) * scale, 0.0)
+    else:
+        pre = jax.lax.dot_general(t.astype(md), w_ref[:].astype(md),
+                                  dimension_numbers=(((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        pre = pre + b_ref[:].astype(jnp.float32)
+        pre = pre + skip_ref[0, 0] * h0_ref[:].astype(jnp.float32)
+        gg = g_ref[:].astype(jnp.float32)
+        if spec.use_dropout:
+            gg = gg * scale * k_dropout_mask(gg.shape, seed_ref[0, 0], p,
+                                             spec.keep)
+        dpre = gg * k_dact(spec.act, pre)
+
     dt = jax.lax.dot_general(dpre.astype(md), w_ref[:].astype(md),
                              dimension_numbers=(((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -321,12 +396,6 @@ def _bwd_kernel_r(idx_ref, send_ref, h_ref, r_ref, h0_ref, w_ref, out_ref,
         preferred_element_type=jnp.float32).astype(dr_ref.dtype)
     dh0_ref[:] = (skip_ref[0, 0] * dpre).astype(dh0_ref.dtype)
 
-    t = jax.lax.dot_general(mt, h_ref[:].astype(md),
-                            dimension_numbers=(((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    t = t + jax.lax.dot_general(st, r_ref[:].astype(md),
-                                dimension_numbers=(((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
     dw_p = jax.lax.dot_general(t.astype(md), dpre.astype(md),
                                dimension_numbers=(((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
@@ -384,8 +453,8 @@ def _fwd_call_r(spec: FusedConvSpec, idx_t, send_t, h, r, h0, w, b, skip,
       seed.reshape(1, 1).astype(jnp.int32))
 
 
-def _bwd_call_r(spec: FusedConvSpec, idx_t, send_t, h, r, h0, w, skip, out,
-                g):
+def _bwd_call_r(spec: FusedConvSpec, idx_t, send_t, h, r, h0, w, b, skip,
+                seed, out, g):
     PD, te = idx_t.shape
     d_pad = PD // spec.p
     s_pad = send_t.shape[0] // spec.p
@@ -396,6 +465,7 @@ def _bwd_call_r(spec: FusedConvSpec, idx_t, send_t, h, r, h0, w, skip, out,
     per_pack = lambda width: blk((te, width), lambda i: (i, 0))
     per_node = lambda width: blk((spec.tn, width), lambda i: (i, 0))
     fixed = lambda rr, c: blk((rr, c), lambda i: (0, 0))
+    smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
 
     out_shapes = (
         jax.ShapeDtypeStruct((spec.p * te, Hin), spec.out_dtype),      # dh
@@ -414,8 +484,7 @@ def _bwd_call_r(spec: FusedConvSpec, idx_t, send_t, h, r, h0, w, skip, out,
             blk((d_pad, te), lambda i: (i, 0)),
             blk((s_pad, te), lambda i: (i, 0)),
             per_pack(Hin), per_node(H), per_pack(H), fixed(Hin, H),
-            per_pack(H), per_pack(H),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            fixed(1, H), per_pack(H), per_pack(H), smem, smem,
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
@@ -425,7 +494,8 @@ def _bwd_call_r(spec: FusedConvSpec, idx_t, send_t, h, r, h0, w, skip, out,
             bytes_accessed=spec.p * te * 6 * H * 4,
             transcendentals=0),
         interpret=spec.interpret,
-    )(idx_t, send_t, h, r, h0, w, out, g, skip.reshape(1, 1))
+    )(idx_t, send_t, h, r, h0, w, b.reshape(1, H), out, g,
+      skip.reshape(1, 1), seed.reshape(1, 1).astype(jnp.int32))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -441,13 +511,13 @@ def fused_conv_layer_r(spec: FusedConvSpec, h, r, h0, idx_t, send_t, w, b,
 
 def _fclr_fwd(spec, h, r, h0, idx_t, send_t, w, b, skip, seed):
     out = _fwd_call_r(spec, idx_t, send_t, h, r, h0, w, b, skip, seed)
-    return out, (h, r, h0, idx_t, send_t, w, skip, out)
+    return out, (h, r, h0, idx_t, send_t, w, b, skip, seed, out)
 
 
 def _fclr_bwd(spec, res, g):
-    h, r, h0, idx_t, send_t, w, skip, out = res
+    h, r, h0, idx_t, send_t, w, b, skip, seed, out = res
     dh, dr, dh0, dw, db, dskip = _bwd_call_r(spec, idx_t, send_t, h, r, h0,
-                                             w, skip, out, g)
+                                             w, b, skip, seed, out, g)
     return (dh.astype(h.dtype), dr.astype(r.dtype), dh0.astype(h0.dtype),
             None, None, dw.astype(w.dtype), db.reshape(-1).astype(w.dtype),
             dskip.astype(skip.dtype).reshape(skip.shape), None)

@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_fused import k_act, k_dact
+
 __all__ = ["GatherLinearSpec", "fused_gather_linear",
            "fused_gather_linear_r", "fused_gather_linear_pool"]
 
@@ -39,6 +41,7 @@ class GatherLinearSpec:
     out_dtype: object = jnp.bfloat16
     interpret: bool = False
     gp: int = 0                 # pool groups per pack (fused_gather_linear_pool)
+    act: str = "relu"           # relu | silu | gelu (exact/erf)
 
 
 def _build_g(idx_ref, base, c_tile, d_nbr, dtype):
@@ -67,17 +70,38 @@ def _fwd_kernel(idx_ref, xa_ref, xb_ref, wa_ref, wb_ref, b_ref, out_ref,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     pre = pre + b_ref[:].astype(jnp.float32)
-    out_ref[:] = jnp.maximum(pre, 0.0).astype(out_ref.dtype)
+    out_ref[:] = k_act(spec.act, pre).astype(out_ref.dtype)
 
 
-def _bwd_kernel(idx_ref, xa_ref, xb_ref, wa_ref, wb_ref, out_ref, g_ref,
-                dxa_ref, dxb_ref, dwa_ref, dwb_ref, db_ref,
+def _dpre_general(spec, t1, xb_ref, wa_ref, wb_ref, b_ref, out_ref, g_ref):
+    """dpre for any activation: ReLU folds from the stored out; other
+    activations recompute pre from the (already-recomputed) t1."""
+    if spec.act == "relu":
+        return jnp.where(out_ref[:].astype(jnp.float32) > 0.0,
+                         g_ref[:].astype(jnp.float32), 0.0)
+    md = spec.mat_dtype
+    pre = jax.lax.dot_general(t1.astype(md), wa_ref[:].astype(md),
+                              dimension_numbers=(((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    pre = pre + jax.lax.dot_general(
+        xb_ref[:].astype(md), wb_ref[:].astype(md),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    pre = pre + b_ref[:].astype(jnp.float32)
+    return g_ref[:].astype(jnp.float32) * k_dact(spec.act, pre)
+
+
+def _bwd_kernel(idx_ref, xa_ref, xb_ref, wa_ref, wb_ref, b_ref, out_ref,
+                g_ref, dxa_ref, dxb_ref, dwa_ref, dwb_ref, db_ref,
                 *, spec: GatherLinearSpec, ca: int):
     p = pl.program_id(0)
     md = spec.mat_dtype
-    dpre = jnp.where(out_ref[:].astype(jnp.float32) > 0.0,
-                     g_ref[:].astype(jnp.float32), 0.0)
     gmat = _build_g(idx_ref, p * ca, ca, spec.d_nbr, md)
+    t1 = jax.lax.dot_general(gmat, xa_ref[:].astype(md),
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dpre = _dpre_general(spec, t1, xb_ref, wa_ref, wb_ref, b_ref, out_ref,
+                         g_ref)
 
     # dxa = G @ (dpre @ Wa^T)
     dt = jax.lax.dot_general(dpre.astype(md), wa_ref[:].astype(md),
@@ -92,9 +116,6 @@ def _bwd_kernel(idx_ref, xa_ref, xb_ref, wa_ref, wb_ref, out_ref, g_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dxb_ref.dtype)
 
-    t1 = jax.lax.dot_general(gmat, xa_ref[:].astype(md),
-                             dimension_numbers=(((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
     dwa_p = jax.lax.dot_general(t1.astype(md), dpre.astype(md),
                                 dimension_numbers=(((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
@@ -143,7 +164,7 @@ def _fwd_call(spec, idx_t, xa, xb, wa, wb, b):
     )(idx_t, xa, xb, wa, wb, b.reshape(1, H))
 
 
-def _bwd_call(spec, idx_t, xa, xb, wa, wb, out, g):
+def _bwd_call(spec, idx_t, xa, xb, wa, wb, b, out, g):
     PD, R = idx_t.shape
     d_pad = PD // spec.p
     CA, FA = xa.shape
@@ -168,12 +189,13 @@ def _bwd_call(spec, idx_t, xa, xb, wa, wb, out, g):
     return pl.pallas_call(
         functools.partial(_bwd_kernel, spec=spec, ca=ca),
         grid=(spec.p,),
-        in_specs=_specs(spec, d_pad, R, ca, FA, FB, H) + [per_r(H),
-                                                          per_r(H)],
+        in_specs=_specs(spec, d_pad, R, ca, FA, FB, H) + [
+            pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            per_r(H), per_r(H)],
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=spec.interpret,
-    )(idx_t, xa, xb, wa, wb, out, g)
+    )(idx_t, xa, xb, wa, wb, b.reshape(1, H), out, g)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -184,12 +206,13 @@ def fused_gather_linear(spec: GatherLinearSpec, xa, xb, idx_t, wa, wb, b):
 
 def _fgl_fwd(spec, xa, xb, idx_t, wa, wb, b):
     out = _fwd_call(spec, idx_t, xa, xb, wa, wb, b)
-    return out, (xa, xb, idx_t, wa, wb, out)
+    return out, (xa, xb, idx_t, wa, wb, b, out)
 
 
 def _fgl_bwd(spec, res, g):
-    xa, xb, idx_t, wa, wb, out = res
-    dxa, dxb, dwa, dwb, db = _bwd_call(spec, idx_t, xa, xb, wa, wb, out, g)
+    xa, xb, idx_t, wa, wb, b, out = res
+    dxa, dxb, dwa, dwb, db = _bwd_call(spec, idx_t, xa, xb, wa, wb, b, out,
+                                       g)
     return (dxa.astype(xa.dtype), dxb.astype(xb.dtype), None,
             dwa.astype(wa.dtype), dwb.astype(wb.dtype),
             db.reshape(-1).astype(wa.dtype))
@@ -221,17 +244,21 @@ def _fwd_kernel_r(idx_ref, xa_ref, xr_ref, xb_ref, wa_ref, wb_ref, b_ref,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     pre = pre + b_ref[:].astype(jnp.float32)
-    out_ref[:] = jnp.maximum(pre, 0.0).astype(out_ref.dtype)
+    out_ref[:] = k_act(spec.act, pre).astype(out_ref.dtype)
 
 
-def _bwd_kernel_r(idx_ref, xa_ref, xr_ref, xb_ref, wa_ref, wb_ref, out_ref,
-                  g_ref, dxa_ref, dxr_ref, dxb_ref, dwa_ref, dwb_ref, db_ref,
-                  *, spec: GatherLinearSpec, ca: int):
+def _bwd_kernel_r(idx_ref, xa_ref, xr_ref, xb_ref, wa_ref, wb_ref, b_ref,
+                  out_ref, g_ref, dxa_ref, dxr_ref, dxb_ref, dwa_ref,
+                  dwb_ref, db_ref, *, spec: GatherLinearSpec, ca: int):
     p = pl.program_id(0)
     md = spec.mat_dtype
-    dpre = jnp.where(out_ref[:].astype(jnp.float32) > 0.0,
-                     g_ref[:].astype(jnp.float32), 0.0)
     gmat = _build_g(idx_ref, p * ca, ca, spec.d_nbr, md)
+    t1 = jax.lax.dot_general(gmat, xa_ref[:].astype(md),
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    t1 = t1 + xr_ref[:].astype(jnp.float32)
+    dpre = _dpre_general(spec, t1, xb_ref, wa_ref, wb_ref, b_ref, out_ref,
+                         g_ref)
 
     dt = jax.lax.dot_general(dpre.astype(md), wa_ref[:].astype(md),
                              dimension_numbers=(((1,), (1,)), ((), ())),
@@ -245,10 +272,6 @@ def _bwd_kernel_r(idx_ref, xa_ref, xr_ref, xb_ref, wa_ref, wb_ref, out_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dxb_ref.dtype)
 
-    t1 = jax.lax.dot_general(gmat, xa_ref[:].astype(md),
-                             dimension_numbers=(((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    t1 = t1 + xr_ref[:].astype(jnp.float32)
     dwa_p = jax.lax.dot_general(t1.astype(md), dpre.astype(md),
                                 dimension_numbers=(((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
@@ -289,7 +312,7 @@ def _fwd_call_r(spec, idx_t, xa, xr, xb, wa, wb, b):
     )(idx_t, xa, xr, xb, wa, wb, b.reshape(1, H))
 
 
-def _bwd_call_r(spec, idx_t, xa, xr, xb, wa, wb, out, g):
+def _bwd_call_r(spec, idx_t, xa, xr, xb, wa, wb, b, out, g):
     PD, R = idx_t.shape
     d_pad = PD // spec.p
     CA, FA = xa.shape
@@ -316,11 +339,13 @@ def _bwd_call_r(spec, idx_t, xa, xr, xb, wa, wb, out, g):
     return pl.pallas_call(
         functools.partial(_bwd_kernel_r, spec=spec, ca=ca),
         grid=(spec.p,),
-        in_specs=base[:2] + [per_r(H)] + base[2:] + [per_r(H), per_r(H)],
+        in_specs=base[:2] + [per_r(H)] + base[2:] + [
+            pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            per_r(H), per_r(H)],
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=spec.interpret,
-    )(idx_t, xa, xr, xb, wa, wb, out, g)
+    )(idx_t, xa, xr, xb, wa, wb, b.reshape(1, H), out, g)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -332,13 +357,13 @@ def fused_gather_linear_r(spec: GatherLinearSpec, xa, xr, xb, idx_t, wa, wb,
 
 def _fglr_fwd(spec, xa, xr, xb, idx_t, wa, wb, b):
     out = _fwd_call_r(spec, idx_t, xa, xr, xb, wa, wb, b)
-    return out, (xa, xr, xb, idx_t, wa, wb, out)
+    return out, (xa, xr, xb, idx_t, wa, wb, b, out)
 
 
 def _fglr_bwd(spec, res, g):
-    xa, xr, xb, idx_t, wa, wb, out = res
+    xa, xr, xb, idx_t, wa, wb, b, out = res
     dxa, dxr, dxb, dwa, dwb, db = _bwd_call_r(spec, idx_t, xa, xr, xb, wa,
-                                              wb, out, g)
+                                              wb, b, out, g)
     return (dxa.astype(xa.dtype), dxr.astype(xr.dtype), dxb.astype(xb.dtype),
             None, dwa.astype(wa.dtype), dwb.astype(wb.dtype),
             db.reshape(-1).astype(wa.dtype))
@@ -382,7 +407,7 @@ def _fwd_kernel_pool(idx_ref, ng_ref, xa_ref, xr_ref, xb_ref, wa_ref,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     pre = pre + b_ref[:].astype(jnp.float32)
-    hn = jnp.maximum(pre, 0.0)
+    hn = k_act(spec.act, pre)
     out_ref[:] = hn.astype(out_ref.dtype)
     gpm = _build_gp(ng_ref, p * spec.gp, spec.gp, md)
     pool_ref[:] = jax.lax.dot_general(
@@ -391,7 +416,7 @@ def _fwd_kernel_pool(idx_ref, ng_ref, xa_ref, xr_ref, xb_ref, wa_ref,
 
 
 def _bwd_kernel_pool(idx_ref, ng_ref, xa_ref, xr_ref, xb_ref, wa_ref,
-                     wb_ref, out_ref, g_ref, gpool_ref,
+                     wb_ref, b_ref, out_ref, g_ref, gpool_ref,
                      dxa_ref, dxr_ref, dxb_ref, dwa_ref, dwb_ref, db_ref,
                      *, spec: GatherLinearSpec, ca: int):
     p = pl.program_id(0)
@@ -402,8 +427,23 @@ def _bwd_kernel_pool(idx_ref, ng_ref, xa_ref, xr_ref, xb_ref, wa_ref,
         gpm, gpool_ref[:].astype(md),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    dpre = jnp.where(out_ref[:].astype(jnp.float32) > 0.0, dhn, 0.0)
     gmat = _build_g(idx_ref, p * ca, ca, spec.d_nbr, md)
+    t1 = jax.lax.dot_general(gmat, xa_ref[:].astype(md),
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    t1 = t1 + xr_ref[:].astype(jnp.float32)
+    if spec.act == "relu":
+        dpre = jnp.where(out_ref[:].astype(jnp.float32) > 0.0, dhn, 0.0)
+    else:
+        pre = jax.lax.dot_general(t1.astype(md), wa_ref[:].astype(md),
+                                  dimension_numbers=(((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        pre = pre + jax.lax.dot_general(
+            xb_ref[:].astype(md), wb_ref[:].astype(md),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        pre = pre + b_ref[:].astype(jnp.float32)
+        dpre = dhn * k_dact(spec.act, pre)
 
     dt = jax.lax.dot_general(dpre.astype(md), wa_ref[:].astype(md),
                              dimension_numbers=(((1,), (1,)), ((), ())),
@@ -417,10 +457,6 @@ def _bwd_kernel_pool(idx_ref, ng_ref, xa_ref, xr_ref, xb_ref, wa_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dxb_ref.dtype)
 
-    t1 = jax.lax.dot_general(gmat, xa_ref[:].astype(md),
-                             dimension_numbers=(((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    t1 = t1 + xr_ref[:].astype(jnp.float32)
     dwa_p = jax.lax.dot_general(t1.astype(md), dpre.astype(md),
                                 dimension_numbers=(((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
@@ -467,7 +503,7 @@ def _fwd_call_pool(spec, idx_t, ng, xa, xr, xb, wa, wb, b):
     )(idx_t, ng, xa, xr, xb, wa, wb, b.reshape(1, H))
 
 
-def _bwd_call_pool(spec, idx_t, ng, xa, xr, xb, wa, wb, out, g, gpool):
+def _bwd_call_pool(spec, idx_t, ng, xa, xr, xb, wa, wb, b, out, g, gpool):
     PD, R = idx_t.shape
     d_pad = PD // spec.p
     CA, FA = xa.shape
@@ -498,13 +534,14 @@ def _bwd_call_pool(spec, idx_t, ng, xa, xr, xb, wa, wb, out, g, gpool):
                   pl.BlockSpec((8, R), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
                   base[1], per_r(H)] + base[2:] + [
+            pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
             per_r(H), per_r(H),
             pl.BlockSpec((spec.gp, H), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)],
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=spec.interpret,
-    )(idx_t, ng, xa, xr, xb, wa, wb, out, g, gpool)
+    )(idx_t, ng, xa, xr, xb, wa, wb, b.reshape(1, H), out, g, gpool)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -521,14 +558,14 @@ def fused_gather_linear_pool(spec: GatherLinearSpec, xa, xr, xb, idx_t, ng,
 
 def _fglp_fwd(spec, xa, xr, xb, idx_t, ng, wa, wb, b):
     out, pool = _fwd_call_pool(spec, idx_t, ng, xa, xr, xb, wa, wb, b)
-    return (out, pool), (xa, xr, xb, idx_t, ng, wa, wb, out)
+    return (out, pool), (xa, xr, xb, idx_t, ng, wa, wb, b, out)
 
 
 def _fglp_bwd(spec, res, g):
-    xa, xr, xb, idx_t, ng, wa, wb, out = res
+    xa, xr, xb, idx_t, ng, wa, wb, b, out = res
     g_hn, g_pool = g
     dxa, dxr, dxb, dwa, dwb, db = _bwd_call_pool(
-        spec, idx_t, ng, xa, xr, xb, wa, wb, out, g_hn, g_pool)
+        spec, idx_t, ng, xa, xr, xb, wa, wb, b, out, g_hn, g_pool)
     return (dxa.astype(xa.dtype), dxr.astype(xr.dtype), dxb.astype(xb.dtype),
             None, None, dwa.astype(wa.dtype), dwb.astype(wb.dtype),
             db.reshape(-1).astype(wa.dtype))

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_fused import _build_mt, _hash_bits
+from .pallas_fused import (_build_mt, _hash_bits, k_act, k_dact,
+                           k_dropout_mask)
 
 __all__ = ["ModelKernelSpec", "fused_model", "fused_model_train"]
 
@@ -48,6 +49,7 @@ class ModelKernelSpec:
     learnable_skip: bool = False
     mat_dtype: object = jnp.bfloat16
     interpret: bool = False
+    act: str = "relu"           # relu | silu | gelu (exact/erf)
     # sub-packs fused per grid step: the one-hot matrices are block-diagonal
     # per pack, so q small packs (e.g. te=128) shrink the message matmuls to
     # q x [te,te] while every dense matmul still runs on the concatenated
@@ -171,12 +173,14 @@ def _replay_forward(spec, p, refs):
     g_send, mt, g_inc, g_pool = _build_ops(
         spec, p, idx_send, idx_msg, idx_inc, idx_pool, tn, te, md)
 
+    keep_pre = spec.act != "relu"   # non-ReLU backward needs act'(pre)
     x_src = g_send.dot0(x_ref[:], md)                       # [QTE, F]
     pre0 = _mm(x_src, wx[:], md) + _mm(e_ref[:], we[:], md) \
         + be[:].astype(jnp.float32)
-    h0 = jnp.maximum(pre0, 0.0)
+    h0 = k_act(spec.act, pre0)
 
     states = [h0]
+    pres = [pre0 if keep_pre else None]
     ts = []          # per-layer messages, kept for the backward wgrad
     h = h0
     for l in range(spec.depth):
@@ -185,23 +189,25 @@ def _replay_forward(spec, p, refs):
         ts.append(t.astype(md))
         pre = _mm(t, wc[l], md) + bc[l:l + 1, :].astype(jnp.float32) \
             + skips[0, l] * h0
-        out = jnp.maximum(pre, 0.0)
+        out = k_act(spec.act, pre)
         if spec.use_dropout(l):
             bits = _hash_bits(out.shape, seeds[0, l], p)
             thr = jnp.uint32(min(int(spec.dropout_ps[l] * 2**32),
                                  2**32 - 1))
             out = jnp.where(bits >= thr, out * (1.0 / spec.keep(l)), 0.0)
         states.append(out)
+        pres.append(pre if keep_pre else None)
         h = out
 
     s = g_inc.dot0(h, md)                                   # [QTN, H]
     pre_n = _mm(s, ws[:], md) + _mm(x_ref[:], wxn[:], md) \
         + ben[:].astype(jnp.float32)
-    hn = jnp.maximum(pre_n, 0.0)                            # [QTN, H]
+    hn = k_act(spec.act, pre_n)                             # [QTN, H]
 
     pooled = g_pool.dot0(hn, md)                            # [QTB, H]
     preds = _mm(pooled, wffn[:], md) + bffn[:].astype(jnp.float32)  # [QTB,1]
-    return (g_send, x_src, mt, states, ts, g_inc, s, hn, g_pool, pooled,
+    return (g_send, x_src, mt, states, pres,
+            pre_n if keep_pre else None, ts, g_inc, s, hn, g_pool, pooled,
             preds)
 
 
@@ -231,8 +237,8 @@ def _bwd_kernel(*refs, spec: ModelKernelSpec, with_loss: bool = False):
      skips, ws, wxn, ben, wffn, bffn, seeds) = ins
     md = spec.mat_dtype
 
-    (g_send, x_src, mt, states, ts, g_inc, s, hn, g_pool, pooled, preds) = \
-        _replay_forward(spec, p, ins)
+    (g_send, x_src, mt, states, pres, pre_n, ts, g_inc, s, hn, g_pool,
+     pooled, preds) = _replay_forward(spec, p, ins)
 
     @pl.when(p == 0)
     def _():
@@ -256,7 +262,10 @@ def _bwd_kernel(*refs, spec: ModelKernelSpec, with_loss: bool = False):
     # pooling
     dhn = g_pool.mm(dpooled, md)                            # [QTN, H]
     # readout
-    dpre_n = jnp.where(hn > 0.0, dhn, 0.0)
+    if spec.act == "relu":
+        dpre_n = jnp.where(hn > 0.0, dhn, 0.0)
+    else:
+        dpre_n = dhn * k_dact(spec.act, pre_n)
     dws_ref[:] += _outerT(s, dpre_n, md)
     dwxn_ref[:] += _outerT(x_ref[:], dpre_n, md)
     dben_ref[:] += jnp.sum(dpre_n, axis=0, keepdims=True)
@@ -269,7 +278,15 @@ def _bwd_kernel(*refs, spec: ModelKernelSpec, with_loss: bool = False):
     for l in reversed(range(spec.depth)):
         out_l = states[l + 1]
         scale = (1.0 / spec.keep(l)) if spec.use_dropout(l) else 1.0
-        dpre = jnp.where(out_l > 0.0, g_cur * scale, 0.0)
+        if spec.act == "relu":
+            # ReLU+dropout fold: out>0 iff kept & pre>0
+            dpre = jnp.where(out_l > 0.0, g_cur * scale, 0.0)
+        else:
+            gg = g_cur
+            if spec.use_dropout(l):
+                gg = gg * scale * k_dropout_mask(gg.shape, seeds[0, l], p,
+                                                 spec.keep(l))
+            dpre = gg * k_dact(spec.act, pres[l + 1])
         # t saved from the forward replay (one fewer [TE,TE]x[TE,H] matmul
         # per layer than recomputing it here)
         dwc_ref[l] += _outerT(ts[l], dpre, md)
@@ -280,7 +297,10 @@ def _bwd_kernel(*refs, spec: ModelKernelSpec, with_loss: bool = False):
         g_cur = mt.mm(dt, md)
     dh0 = dh0 + g_cur
     # edge_init
-    dpre0 = jnp.where(h0 > 0.0, dh0, 0.0)
+    if spec.act == "relu":
+        dpre0 = jnp.where(h0 > 0.0, dh0, 0.0)
+    else:
+        dpre0 = dh0 * k_dact(spec.act, pres[0])
     dwx_ref[:] += _outerT(x_src, dpre0, md)
     dwe_ref[:] += _outerT(e_ref[:], dpre0, md)
     dbe_ref[:] += jnp.sum(dpre0, axis=0, keepdims=True)

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_fused import _build_mt, _hash_bits
+from .pallas_fused import _build_mt, _hash_bits, k_act, k_dact, \
+    k_dropout_mask
 
 __all__ = ["ConvStackSpec", "fused_conv_stack"]
 
@@ -48,6 +49,7 @@ class ConvStackSpec:
     mat_dtype: object = jnp.bfloat16
     out_dtype: object = jnp.bfloat16
     interpret: bool = False
+    act: str = "relu"           # relu | silu | gelu (exact/erf)
 
     def keep(self, l: int) -> float:
         return 1.0 - self.dropout_ps[l]
@@ -66,12 +68,12 @@ def _layer_fwd(spec, l, mt, h, h0, w_ref, b_ref, skips_ref, seeds_ref, p):
                               preferred_element_type=jnp.float32)
     pre = pre + b_ref[l:l + 1, :].astype(jnp.float32)
     pre = pre + skips_ref[0, l] * h0.astype(jnp.float32)
-    out = jnp.maximum(pre, 0.0)
+    out = k_act(spec.act, pre)
     if spec.use_dropout(l):
         bits = _hash_bits(out.shape, seeds_ref[0, l], p)
         thr = jnp.uint32(min(int(spec.dropout_ps[l] * 2**32), 2**32 - 1))
         out = jnp.where(bits >= thr, out * (1.0 / spec.keep(l)), 0.0)
-    return out
+    return out, pre
 
 
 def _fwd_kernel(idx_ref, h0_ref, w_ref, b_ref, skips_ref, seeds_ref,
@@ -80,8 +82,8 @@ def _fwd_kernel(idx_ref, h0_ref, w_ref, b_ref, skips_ref, seeds_ref,
     mt = _build_mt(idx_ref, p * te, te, spec.d_nbr, spec.mat_dtype)
     h = h0_ref[:]
     for l in range(spec.depth):
-        h = _layer_fwd(spec, l, mt, h, h0_ref[:], w_ref, b_ref, skips_ref,
-                       seeds_ref, p)
+        h, _ = _layer_fwd(spec, l, mt, h, h0_ref[:], w_ref, b_ref,
+                          skips_ref, seeds_ref, p)
     out_ref[:] = h.astype(out_ref.dtype)
 
 
@@ -93,13 +95,17 @@ def _bwd_kernel(idx_ref, h0_ref, w_ref, b_ref, skips_ref, seeds_ref, g_ref,
     mt = _build_mt(idx_ref, p * te, te, spec.d_nbr, md)
     h0 = h0_ref[:]
 
-    # replay forward, keeping every layer state in VMEM (registers/stack)
+    # replay forward, keeping every layer state in VMEM (registers/stack);
+    # non-ReLU activations also keep the pre-activations for act'(pre)
+    keep_pre = spec.act != "relu"
     states = [h0]
+    pres = []
     h = h0
     for l in range(spec.depth):
-        h = _layer_fwd(spec, l, mt, h, h0, w_ref, b_ref, skips_ref,
-                       seeds_ref, p)
+        h, pre = _layer_fwd(spec, l, mt, h, h0, w_ref, b_ref, skips_ref,
+                            seeds_ref, p)
         states.append(h)
+        pres.append(pre if keep_pre else None)
 
     @pl.when(p == 0)
     def _():
@@ -112,7 +118,16 @@ def _bwd_kernel(idx_ref, h0_ref, w_ref, b_ref, skips_ref, seeds_ref, g_ref,
     for l in reversed(range(spec.depth)):
         out_l = states[l + 1]
         scale = (1.0 / spec.keep(l)) if spec.use_dropout(l) else 1.0
-        dpre = jnp.where(out_l.astype(jnp.float32) > 0.0, g * scale, 0.0)
+        if spec.act == "relu":
+            # ReLU+dropout fold: out>0 iff kept & pre>0
+            dpre = jnp.where(out_l.astype(jnp.float32) > 0.0, g * scale,
+                             0.0)
+        else:
+            gg = g
+            if spec.use_dropout(l):
+                gg = gg * scale * k_dropout_mask(gg.shape, seeds_ref[0, l],
+                                                 p, spec.keep(l))
+            dpre = gg * k_dact(spec.act, pres[l])
         # t_l recomputed for dW
         t = jax.lax.dot_general(mt, states[l].astype(md),
                                 dimension_numbers=(((0,), (0,)), ((), ())),
