@@ -74,17 +74,31 @@ _SQRT_HALF = 0.7071067811865476
 _INV_SQRT_2PI = 0.3989422804014327
 
 
+def _erf(x):
+    """erf via the Abramowitz-Stegun 7.1.26 rational approximation
+    (|abs err| <= 1.5e-7 == f32 epsilon): Mosaic's TPU lowering has no
+    erf primitive (NotImplementedError: 'erf'), so the exact-GELU kernels
+    build it from exp — all VPU elementwise."""
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    e = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.where(x < 0.0, -e, e)
+
+
 def k_act(name: str, pre):
     """In-kernel activation on the f32 pre-activation (VPU elementwise).
 
-    Matches models.cgr_mpnn.ACTIVATIONS bit-for-bit: SiLU = x*sigmoid(x),
-    GELU = exact erf form (torch F.gelu default, GNN.py activation_fn)."""
+    Matches models.cgr_mpnn.ACTIVATIONS: SiLU = x*sigmoid(x), GELU = the
+    exact erf form (torch F.gelu default, GNN.py activation_fn), with erf
+    itself at f32-epsilon accuracy (see :func:`_erf`)."""
     if name == "relu":
         return jnp.maximum(pre, 0.0)
     if name == "silu":
         return pre * jax.lax.logistic(pre)
     if name == "gelu":
-        return 0.5 * pre * (1.0 + jax.lax.erf(pre * _SQRT_HALF))
+        return 0.5 * pre * (1.0 + _erf(pre * _SQRT_HALF))
     raise ValueError(f"unsupported kernel activation {name!r}")
 
 
@@ -97,7 +111,7 @@ def k_dact(name: str, pre):
         s = jax.lax.logistic(pre)
         return s * (1.0 + pre * (1.0 - s))
     if name == "gelu":
-        cdf = 0.5 * (1.0 + jax.lax.erf(pre * _SQRT_HALF))
+        cdf = 0.5 * (1.0 + _erf(pre * _SQRT_HALF))
         pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * pre * pre)
         return cdf + pre * pdf
     raise ValueError(f"unsupported kernel activation {name!r}")

@@ -173,14 +173,12 @@ def _replay_forward(spec, p, refs):
     g_send, mt, g_inc, g_pool = _build_ops(
         spec, p, idx_send, idx_msg, idx_inc, idx_pool, tn, te, md)
 
-    keep_pre = spec.act != "relu"   # non-ReLU backward needs act'(pre)
     x_src = g_send.dot0(x_ref[:], md)                       # [QTE, F]
     pre0 = _mm(x_src, wx[:], md) + _mm(e_ref[:], we[:], md) \
         + be[:].astype(jnp.float32)
     h0 = k_act(spec.act, pre0)
 
     states = [h0]
-    pres = [pre0 if keep_pre else None]
     ts = []          # per-layer messages, kept for the backward wgrad
     h = h0
     for l in range(spec.depth):
@@ -196,7 +194,6 @@ def _replay_forward(spec, p, refs):
                                  2**32 - 1))
             out = jnp.where(bits >= thr, out * (1.0 / spec.keep(l)), 0.0)
         states.append(out)
-        pres.append(pre if keep_pre else None)
         h = out
 
     s = g_inc.dot0(h, md)                                   # [QTN, H]
@@ -206,8 +203,7 @@ def _replay_forward(spec, p, refs):
 
     pooled = g_pool.dot0(hn, md)                            # [QTB, H]
     preds = _mm(pooled, wffn[:], md) + bffn[:].astype(jnp.float32)  # [QTB,1]
-    return (g_send, x_src, mt, states, pres,
-            pre_n if keep_pre else None, ts, g_inc, s, hn, g_pool, pooled,
+    return (g_send, x_src, mt, states, ts, g_inc, s, hn, g_pool, pooled,
             preds)
 
 
@@ -237,8 +233,8 @@ def _bwd_kernel(*refs, spec: ModelKernelSpec, with_loss: bool = False):
      skips, ws, wxn, ben, wffn, bffn, seeds) = ins
     md = spec.mat_dtype
 
-    (g_send, x_src, mt, states, pres, pre_n, ts, g_inc, s, hn, g_pool,
-     pooled, preds) = _replay_forward(spec, p, ins)
+    (g_send, x_src, mt, states, ts, g_inc, s, hn, g_pool, pooled, preds) = \
+        _replay_forward(spec, p, ins)
 
     @pl.when(p == 0)
     def _():
@@ -261,10 +257,13 @@ def _bwd_kernel(*refs, spec: ModelKernelSpec, with_loss: bool = False):
     dpooled = _mmT(dpred, wffn[:], md)                      # [QTB, H]
     # pooling
     dhn = g_pool.mm(dpooled, md)                            # [QTN, H]
-    # readout
+    # readout (non-ReLU: pre_n recomputed from the saved s — storing the
+    # pre-activations instead costs ~4 MB of scoped VMEM and OOMs at q=4)
     if spec.act == "relu":
         dpre_n = jnp.where(hn > 0.0, dhn, 0.0)
     else:
+        pre_n = _mm(s.astype(md), ws[:], md) \
+            + _mm(x_ref[:], wxn[:], md) + ben[:].astype(jnp.float32)
         dpre_n = dhn * k_dact(spec.act, pre_n)
     dws_ref[:] += _outerT(s, dpre_n, md)
     dwxn_ref[:] += _outerT(x_ref[:], dpre_n, md)
@@ -286,7 +285,9 @@ def _bwd_kernel(*refs, spec: ModelKernelSpec, with_loss: bool = False):
             if spec.use_dropout(l):
                 gg = gg * scale * k_dropout_mask(gg.shape, seeds[0, l], p,
                                                  spec.keep(l))
-            dpre = gg * k_dact(spec.act, pres[l + 1])
+            pre_l = _mm(ts[l], wc[l], md) \
+                + bc[l:l + 1, :].astype(jnp.float32) + skips[0, l] * h0
+            dpre = gg * k_dact(spec.act, pre_l)
         # t saved from the forward replay (one fewer [TE,TE]x[TE,H] matmul
         # per layer than recomputing it here)
         dwc_ref[l] += _outerT(ts[l], dpre, md)
@@ -300,7 +301,9 @@ def _bwd_kernel(*refs, spec: ModelKernelSpec, with_loss: bool = False):
     if spec.act == "relu":
         dpre0 = jnp.where(h0 > 0.0, dh0, 0.0)
     else:
-        dpre0 = dh0 * k_dact(spec.act, pres[0])
+        pre0 = _mm(x_src.astype(md), wx[:], md) \
+            + _mm(e_ref[:], we[:], md) + be[:].astype(jnp.float32)
+        dpre0 = dh0 * k_dact(spec.act, pre0)
     dwx_ref[:] += _outerT(x_src, dpre0, md)
     dwe_ref[:] += _outerT(e_ref[:], dpre0, md)
     dbe_ref[:] += jnp.sum(dpre0, axis=0, keepdims=True)
