@@ -174,6 +174,13 @@ def _bench_parallel(args, graphs, n_edges_real, nf) -> None:
         from cgr_mpnn_3d_tpu.parallel.ep_pack import wire_bytes_per_layer
         batch, spec = pack_shard_edges(graphs, labels, ndev,
                                        te=args.te, tn=args.tn)
+        if use_pallas and spec.p % args.q:
+            # q-sub-pack fusion needs q | p; on real TPU the q x smaller
+            # message matmuls outweigh a few empty filler packs (r3 lever
+            # table); on the CPU/XLA path empty packs are pure cost
+            from dataclasses import replace
+            spec = replace(spec, p=-(-spec.p // args.q) * args.q)
+            batch, _ = pack_shard_edges(graphs, labels, ndev, spec=spec)
         mesh = make_mesh(n_dp=1, n_ep=ndev, devices=jax.devices()[:ndev])
         if infer:
             ev = make_ep_pack_eval_step(cfg, mesh, spec)
@@ -190,8 +197,15 @@ def _bench_parallel(args, graphs, n_edges_real, nf) -> None:
         # wire volume: push+pull per conv layer + final push (readout), per
         # shard; grads all-reduce once per step
         wire = ((2 * cfg.depth + 1) * wire_bytes_per_layer(spec, H) // 2)
+        # weak-scaling diagnosis (VERDICT r3 weak #5): per-shard fill and
+        # load spread — every shard executes spec.p packs regardless of how
+        # many it actually fills, so min(fill_k) bounds the aggregate
+        ek = [int((batch.senders[k] < spec.pn).sum()) for k in range(ndev)]
+        fills = [e / spec.pe for e in ek]
         print(f"ep: n_ep={ndev}, p={spec.p} packs/shard "
-              f"(te={spec.te}, tn={spec.tn}), fill {fill:.2f}, "
+              f"(te={spec.te}, tn={spec.tn}), fill {fill:.2f} "
+              f"(per-shard min {min(fills):.2f} / max {max(fills):.2f}, "
+              f"edge load spread {min(ek)}..{max(ek)}), "
               f"caps={spec.caps} -> wire {wire/1e6:.3f} MB/step/shard, "
               f"grad psum {n_params * 4 / 1e6:.1f} MB/step",
               file=sys.stderr)
@@ -325,6 +339,11 @@ def main() -> None:
     ap.add_argument("--ep-width", default=2, type=int,
                     help="ep axis width for --parallel dpep "
                          "(dp = ndev / ep-width)")
+    ap.add_argument("--weak", action="store_true",
+                    help="weak scaling for --parallel: multiply --graphs "
+                         "by --ndev so per-shard work stays constant "
+                         "(otherwise a fixed batch split N ways shrinks "
+                         "shards below packing granularity)")
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU (debug)")
     args = ap.parse_args()
@@ -353,7 +372,8 @@ def main() -> None:
 
     nf = 78 + args.mace_dim
     rng = np.random.default_rng(0)
-    graphs = synthetic_graphs(args.graphs, rng, node_feat_dim=nf)
+    n_graphs = args.graphs * (args.ndev if args.weak else 1)
+    graphs = synthetic_graphs(n_graphs, rng, node_feat_dim=nf)
     # first-fit-decreasing: big graphs first -> higher fill, fewer packs
     graphs.sort(key=lambda g: -g.num_edges)
     n_edges_real = sum(g.num_edges for g in graphs)
