@@ -89,6 +89,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                          "concurrent inter-chip RDMAs instead of the "
                          "ppermute ring (TPU only; "
                          "parallel/rdma_exchange.py)")
+    ap.add_argument("--ep_overlap", action="store_true",
+                    help="--ep wired layers overlap the ring boundary "
+                         "exchange with the main conv kernel (the "
+                         "cut-bounded correction is applied after, in "
+                         "XLA); wireless batches are unaffected (they "
+                         "already run the one-kernel step)")
     ap.add_argument("--ep_tn", default=72, type=int,
                     help="EP pack tile: node slots per pack")
     ap.add_argument("--steps_per_call", default=1, type=int,
@@ -156,6 +162,7 @@ def train(args) -> dict:
         else jnp.float32,
         pallas_sub_packs=args.pack_q,
         ep_rdma_exchange=bool(args.ep_rdma),
+        ep_overlap=bool(args.ep_overlap),
     )
     cfg = maybe_enable_pallas(cfg)  # TPU: one-hot SpMM kernels
     if args.ep_rdma:

@@ -77,6 +77,12 @@ class CGRMPNNConfig:
                                            # inter-chip RDMAs instead of the
                                            # ppermute ring (TPU/interpret
                                            # only; parallel/rdma_exchange.py)
+    ep_overlap: bool = False               # --ep wired layers: run the main
+                                           # conv kernel (no r input) WHILE
+                                           # the ring hops fly, then apply
+                                           # the cut-bounded (S r) @ W
+                                           # correction + act/dropout in XLA
+                                           # (VERDICT r3 weakness #2)
 
     def __post_init__(self):
         object.__setattr__(self, "hidden_sizes",

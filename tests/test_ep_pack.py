@@ -501,3 +501,85 @@ def test_one_kernel_with_dropout_and_dp_filler(small_case):
         assert np.isfinite(float(loss)) and np.isfinite(float(gnorm))
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+# ---------------------------------------------------------------------------
+# exchange/compute overlap on WIRED specs (VERDICT r3 weakness #2 / next #3)
+# ---------------------------------------------------------------------------
+
+def _wired_case(n_ep=4):
+    """A striped giant chain + small graphs => nonzero caps (real wire)."""
+    rng = np.random.default_rng(11)
+    graphs = [chain_graph(160, rng)] + list(
+        synthetic_graphs(12, rng, node_feat_dim=NF))
+    labels = [1.0] + [0.2 * i for i in range(12)]
+    b, espec = pack_shard_edges(graphs, labels, n_ep, te=64, tn=32)
+    assert any(c > 0 for c in espec.caps)
+    return graphs, labels, b, espec
+
+
+@pytest.mark.parametrize("dropout", [0.0, 0.25])
+def test_overlap_matches_nonoverlap_wired(dropout):
+    """cfg.ep_overlap splits each wired layer into (kernel without r) +
+    (compact cut-bounded correction in XLA): predictions, loss and grads
+    must match the non-overlap fused path — incl. with dropout, whose XLA
+    hash mask must bit-match the in-kernel one."""
+    from dataclasses import replace
+
+    import optax
+    from cgr_mpnn_3d_tpu.train.trainer import TrainState
+
+    n_ep = 4
+    graphs, labels, b, espec = _wired_case(n_ep)
+    cfg = make_cfg(use_pallas=True, pallas_interpret=True,
+                   dropout_ps=(dropout,) * 3)
+    cfg_ov = replace(cfg, ep_overlap=True)
+    params = init_params(jax.random.PRNGKey(5), cfg)
+    stacked = jax.tree_util.tree_map(lambda v: v[None], b)
+    mesh = make_mesh(n_dp=1, n_ep=n_ep, devices=jax.devices()[:n_ep])
+    opt = optax.adam(1e-2)
+
+    trajs, finals = [], []
+    for c in (cfg_ov, cfg):
+        step = make_ep_pack_train_step(opt, c, mesh, espec)
+        state = TrainState(params, opt.init(params),
+                           jnp.zeros((), jnp.int32), jax.random.PRNGKey(0))
+        losses = []
+        for _ in range(3):
+            state, loss, _ = step(state, stacked)
+            losses.append(float(loss))
+        trajs.append(losses)
+        finals.append(state.params)
+    np.testing.assert_allclose(trajs[0], trajs[1], rtol=1e-4,
+                               err_msg="overlap loss trajectory != fused")
+    for a, b_ in zip(jax.tree_util.tree_leaves(finals[0]),
+                     jax.tree_util.tree_leaves(finals[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-4, rtol=1e-2)
+
+
+def test_overlap_eval_matches_xla_oracle():
+    """Overlap-path predictions equal the plain XLA EP path (and hence the
+    single-device oracle, by the existing exactness tests)."""
+    from dataclasses import replace
+    n_ep = 4
+    graphs, labels, b, espec = _wired_case(n_ep)
+    cfg_x = make_cfg()
+    cfg_ov = replace(make_cfg(use_pallas=True, pallas_interpret=True),
+                     ep_overlap=True)
+    params = init_params(jax.random.PRNGKey(6), cfg_x)
+    mesh = make_mesh(n_dp=1, n_ep=n_ep, devices=jax.devices()[:n_ep])
+    pspec = jax.tree_util.tree_map(lambda _: P("ep"), b)
+
+    def run(c):
+        def f(bb):
+            local = jax.tree_util.tree_map(lambda v: v[0], bb)
+            _, preds = ep_pack_forward(params, local, c, espec, axis="ep")
+            return preds
+
+        sm = jax.jit(jax.shard_map(f, mesh=mesh, in_specs=(pspec,),
+                                   out_specs=P(), check_vma=False))
+        return np.asarray(sm(b))[:len(graphs)]
+
+    np.testing.assert_allclose(run(cfg_ov), run(cfg_x), atol=2e-4,
+                               rtol=1e-4)
