@@ -115,6 +115,36 @@ def run(args) -> dict:
               f"(gate {gate} +{args.gate_tolerance:.0%}) -> "
               f"{'PASS' if passed else 'FAIL'}")
 
+    if args.compare_h512 and plan:
+        # hidden-512 accuracy leg (VERDICT r3 weakness #6): the TPU-native
+        # flagship claim (BASELINE.md: equal edge rate, 1.64x capacity at
+        # H=512) is perf-only until this gate runs — H=512 must train at
+        # least as well as the reference H=400 config on the same data
+        import copy
+        base_name = plan[-1][0]
+        rmse400 = summary["gates"][base_name]["test_rmse_kcal_mol"]
+        a512 = copy.copy(args)
+        a512.hidden = 512
+        # same pipeline name (the CLI's --name selects CGR vs 3D inputs,
+        # reference parity); run_name encodes h-512 so checkpoints differ
+        print(f"== training {base_name} at hidden=512 (accuracy leg)")
+        targs = train_parser().parse_args(
+            _reference_train_args(base_name, a512))
+        train(targs)
+        ckpt = Path(args.save_path) / f"{run_name(targs)}.npz"
+        res = run_test(base_name, str(ckpt), data_path=args.data_path,
+                       plot_results=False, save_plot="")
+        rmse512 = float(res["test_losses"])
+        passed = rmse512 <= rmse400 * (1.0 + args.gate_tolerance)
+        ok &= passed
+        summary["gates"]["H512_vs_H400"] = {
+            "test_rmse_kcal_mol": rmse512, "gate": rmse400,
+            "tolerance": args.gate_tolerance, "passed": bool(passed),
+            "checkpoint": str(ckpt)}
+        print(f"== {base_name}@H512: test RMSE {rmse512:.3f} vs H400 "
+              f"{rmse400:.3f} (+{args.gate_tolerance:.0%}) -> "
+              f"{'PASS' if passed else 'FAIL'}")
+
     summary["all_passed"] = bool(ok)
     out = Path(args.summary)
     out.parent.mkdir(parents=True, exist_ok=True)
@@ -143,6 +173,11 @@ def main(argv=None) -> None:
                     help="relative slack on the gates (seed variance)")
     ap.add_argument("--skip_3d", action="store_true",
                     help="run only the 2D CGR baseline")
+    ap.add_argument("--compare_h512", action="store_true",
+                    help="also train the TPU-native hidden-512 flagship "
+                         "and gate its test RMSE against the H=400 run "
+                         "(BASELINE.md's H512 recommendation is perf-only "
+                         "until this leg passes)")
     args = ap.parse_args(argv)
     summary = run(args)
     if not summary["all_passed"]:
