@@ -40,6 +40,19 @@ class TestTrainCLI:
               "--val_frequency", "1", "--skip_test"])
         assert list((tmp_path / "saved_ep").glob("CGR_*.npz"))
 
+    def test_ep_overlap_flag_trains(self, datasets, tmp_path, monkeypatch):
+        """--ep 2 --ep_overlap end-to-end from the CLI (the overlap path
+        is a no-op for wireless batches but the flag must plumb through
+        and train)."""
+        from cgr_mpnn_3d_tpu.cli.train import main
+        monkeypatch.chdir(tmp_path)
+        main(["--name", "CGR", "-d", "2", "--hidden_sizes", "16",
+              "--dropout_ps", "0.0", "-ne", "2", "-bs", "4",
+              "--ep", "2", "--ep_overlap", "--data_path", str(datasets),
+              "--save_path", str(tmp_path / "saved_epo"),
+              "--val_frequency", "1", "--skip_test"])
+        assert list((tmp_path / "saved_epo").glob("CGR_*.npz"))
+
     def test_cgr_train_and_test(self, datasets, tmp_path, monkeypatch):
         from cgr_mpnn_3d_tpu.cli.train import main
         monkeypatch.chdir(tmp_path)
