@@ -166,20 +166,14 @@ def apply(params: dict, batch: PackedGraphBatch, cfg: CGRMPNNConfig,
     mask with ``batch.graph_mask``).  With ``capture=True`` also returns a
     dict of intermediate activations for parity checks.
 
-    When ``cfg.use_pallas`` and ``spec`` is given (and aggr='add'), the
-    gather ops are replaced by the block-dense one-hot SpMM TPU kernels."""
+    When ``cfg.use_pallas`` and ``spec`` is given, the gather ops are
+    replaced by the block-dense one-hot TPU kernels (activation- and
+    aggregation-general: relu/silu/gelu x add/mean)."""
     act = ACTIVATIONS[cfg.activation]
     dt = cfg.compute_dtype
     acts: dict[str, jax.Array] = {}
 
-    use_pallas = cfg.use_pallas and spec is not None and cfg.aggr == "add"
-    if cfg.use_pallas and spec is not None and cfg.aggr == "mean":
-        import warnings
-        warnings.warn(
-            "aggr='mean' has no Pallas kernel path yet - falling back to "
-            "the XLA gather ops (~20x slower per r1/r2 measurements). "
-            "Use aggr='add' (the reference default) for TPU speed.",
-            stacklevel=2)
+    use_pallas = cfg.use_pallas and spec is not None
     if use_pallas:
         md = jnp.bfloat16 if dt == jnp.bfloat16 else jnp.float32
         idxs = build_model_indices(batch, spec.p)
@@ -241,7 +235,7 @@ def apply(params: dict, batch: PackedGraphBatch, cfg: CGRMPNNConfig,
             depth=cfg.depth, dropout_ps=tuple(cfg.dropout_ps),
             train=do_train, learnable_skip=cfg.use_learnable_skip,
             mat_dtype=md, interpret=cfg.pallas_interpret,
-            act=kact, q=cfg.pallas_sub_packs)
+            act=kact, aggr=cfg.aggr, q=cfg.pallas_sub_packs)
         wei = params["edge_init"]["w"]
         wen = params["edge_to_node"]["w"]
         w_stack = jnp.stack([params["convs"][l]["w"]
@@ -297,7 +291,7 @@ def apply(params: dict, batch: PackedGraphBatch, cfg: CGRMPNNConfig,
                 dropout_ps=tuple(cfg.dropout_ps), train=do_train,
                 learnable_skip=cfg.use_learnable_skip, mat_dtype=md,
                 out_dtype=store_dt, interpret=cfg.pallas_interpret,
-                act=kact)
+                act=kact, aggr=cfg.aggr)
             w_stack = jnp.stack([params["convs"][l]["w"]
                                  for l in range(cfg.depth)])
             b_stack = jnp.stack([params["convs"][l]["b"]
@@ -309,7 +303,8 @@ def apply(params: dict, batch: PackedGraphBatch, cfg: CGRMPNNConfig,
             fbase = dict(p=spec.p, d_nbr=D,
                          learnable_skip=cfg.use_learnable_skip,
                          mat_dtype=md, out_dtype=store_dt,
-                         interpret=cfg.pallas_interpret, act=kact)
+                         interpret=cfg.pallas_interpret, act=kact,
+                         aggr=cfg.aggr)
             h = h0c
             for l in range(cfg.depth):
                 fspec = FusedConvSpec(dropout_p=cfg.dropout_ps[l],
@@ -341,7 +336,7 @@ def apply(params: dict, batch: PackedGraphBatch, cfg: CGRMPNNConfig,
                                     mat_dtype=md,
                                     out_dtype=jnp.float32,
                                     interpret=cfg.pallas_interpret,
-                                    act=kact)
+                                    act=kact, aggr=cfg.aggr)
         wen = params["edge_to_node"]["w"]
         hn = fused_gather_linear(glspec_r, h.astype(h0.dtype), x,
                                  idxs.inc_fwd, wen[F:], wen[:F],
@@ -364,10 +359,11 @@ def apply(params: dict, batch: PackedGraphBatch, cfg: CGRMPNNConfig,
 
 
 def supports_fused_train(cfg: CGRMPNNConfig) -> bool:
-    """Whether the one-kernel training step applies to this config (all
-    ACTIVATIONS have kernel implementations; aggr='mean' does not yet)."""
+    """Whether the one-kernel training step applies to this config: the
+    kernels cover the whole reference config space (relu/silu/gelu x
+    add/mean), so this is just the use_pallas + fuse_whole_model gate."""
     return (cfg.use_pallas and cfg.fuse_whole_model
-            and cfg.activation in KERNEL_ACT and cfg.aggr == "add")
+            and cfg.activation in KERNEL_ACT)
 
 
 def kernel_seeds(cfg: CGRMPNNConfig, rng: jax.Array | None) -> jax.Array:
@@ -447,7 +443,7 @@ def fused_train_value_and_grad(params: dict, batch: PackedGraphBatch,
         train=rng is not None,
         learnable_skip=cfg.use_learnable_skip, mat_dtype=md,
         interpret=cfg.pallas_interpret, act=KERNEL_ACT[cfg.activation],
-        q=cfg.pallas_sub_packs)
+        aggr=cfg.aggr, q=cfg.pallas_sub_packs)
     flat = kernel_flat_params(params, cfg, F, seeds)
     sse, g = fused_model_train(
         mspec, x, e,

@@ -60,6 +60,11 @@ class FusedConvSpec:
     interpret: bool = False
     tn: int = 0                 # node-tile rows of r (fused_conv_layer_r)
     act: str = "relu"           # relu | silu | gelu (exact/erf)
+    aggr: str = "add"           # add | mean (DMPNNConv aggr, GNN.py:120)
+
+    @property
+    def mean(self) -> bool:
+        return self.aggr == "mean"
 
     @property
     def keep(self) -> float:
@@ -150,8 +155,27 @@ def hash_dropout_keep_full(pe: int, h: int, te: int, seed, rate: float):
     return x >= thr
 
 
-def _build_mt(idx_ref, base, c_tile, d_nbr, dtype):
+def mean_colscale(g, dtype):
+    """Per-column 1/in-degree scale for aggr='mean', derived IN-KERNEL from
+    the one-hot matrix itself: each column of the positive part has exactly
+    one entry per valid incoming edge, so its column sum IS the in-degree
+    (the packer's self-contained packs guarantee every incoming edge of a
+    pack-local node lives in the same tile).  No extra kernel inputs, and
+    folding the scale into the matrix entries makes the backward adjoint
+    (the same matrix, transposed contraction) automatically correct.
+    Zero-degree columns (padding slots) divide by 1 — their entries are all
+    zero anyway, matching the XLA path's inv_deg=0 convention."""
+    deg = jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
+    return g * (1.0 / jnp.maximum(deg, 1.0)).astype(dtype)
+
+
+def _build_mt(idx_ref, base, c_tile, d_nbr, dtype, mean: bool = False):
     """MT [C, R]: +1 rows for the d_nbr neighbor rows, -1 for the rev row.
+
+    With ``mean``, the neighbor (positive) part is scaled per column by
+    1/in-degree of the edge's source node (PyG propagate aggr='mean',
+    GNN.py:120,134) — the rev subtraction stays unscaled (GNN.py:141
+    subtracts the raw reverse message).
 
     Index rows broadcast across sublanes (cheap); see ops/pallas_ops.py.
     """
@@ -161,6 +185,8 @@ def _build_mt(idx_ref, base, c_tile, d_nbr, dtype):
     mt = jnp.zeros((c_tile, r_tile), dtype)
     for d in range(d_nbr):
         mt = mt + (rows == il[d:d + 1, :]).astype(dtype)
+    if mean:
+        mt = mean_colscale(mt, dtype)
     mt = mt - (rows == il[d_nbr:d_nbr + 1, :]).astype(dtype)
     return mt
 
@@ -185,7 +211,7 @@ def _fwd_kernel(idx_ref, h_ref, h0_ref, w_ref, b_ref, skip_ref, seed_ref,
                 out_ref, *, spec: FusedConvSpec, te: int):
     p = pl.program_id(0)
     md = spec.mat_dtype
-    mt = _build_mt(idx_ref, p * te, te, spec.d_nbr, md)
+    mt = _build_mt(idx_ref, p * te, te, spec.d_nbr, md, spec.mean)
     # t[e] = sum_c MT[c, e] h[c]
     t = jax.lax.dot_general(mt, h_ref[:].astype(md),
                             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -208,7 +234,7 @@ def _bwd_kernel(idx_ref, h_ref, h0_ref, w_ref, b_ref, out_ref, g_ref,
                 dskip_ref, *, spec: FusedConvSpec, te: int):
     p = pl.program_id(0)
     md = spec.mat_dtype
-    mt = _build_mt(idx_ref, p * te, te, spec.d_nbr, md)
+    mt = _build_mt(idx_ref, p * te, te, spec.d_nbr, md, spec.mean)
     # t recomputed in VMEM for dW (and, for non-ReLU, pre)
     t = jax.lax.dot_general(mt, h_ref[:].astype(md),
                             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -380,7 +406,7 @@ def _fwd_kernel_r(idx_ref, send_ref, h_ref, r_ref, h0_ref, w_ref, b_ref,
                   te: int):
     p = pl.program_id(0)
     md = spec.mat_dtype
-    mt = _build_mt(idx_ref, p * te, te, spec.d_nbr, md)
+    mt = _build_mt(idx_ref, p * te, te, spec.d_nbr, md, spec.mean)
     st = _build_st(send_ref, p * spec.tn, spec.tn, md)
     t = jax.lax.dot_general(mt, h_ref[:].astype(md),
                             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -407,7 +433,7 @@ def _bwd_kernel_r(idx_ref, send_ref, h_ref, r_ref, h0_ref, w_ref, b_ref,
                   *, spec: FusedConvSpec, te: int):
     p = pl.program_id(0)
     md = spec.mat_dtype
-    mt = _build_mt(idx_ref, p * te, te, spec.d_nbr, md)
+    mt = _build_mt(idx_ref, p * te, te, spec.d_nbr, md, spec.mean)
     st = _build_st(send_ref, p * spec.tn, spec.tn, md)
     t = jax.lax.dot_general(mt, h_ref[:].astype(md),
                             dimension_numbers=(((0,), (0,)), ((), ())),

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_fused import k_act, k_dact
+from .pallas_fused import k_act, k_dact, mean_colscale
 
 __all__ = ["GatherLinearSpec", "fused_gather_linear",
            "fused_gather_linear_r", "fused_gather_linear_pool"]
@@ -42,15 +42,26 @@ class GatherLinearSpec:
     interpret: bool = False
     gp: int = 0                 # pool groups per pack (fused_gather_linear_pool)
     act: str = "relu"           # relu | silu | gelu (exact/erf)
+    aggr: str = "add"           # add | mean: the readout instance reuses the
+                                # conv's aggregation (GNN.py:105), so its
+                                # incoming-sum matrix gets the 1/deg column
+                                # scale too; edge_init stays 'add' (a pure
+                                # gather, each column has exactly one entry)
+
+    @property
+    def mean(self) -> bool:
+        return self.aggr == "mean"
 
 
-def _build_g(idx_ref, base, c_tile, d_nbr, dtype):
+def _build_g(idx_ref, base, c_tile, d_nbr, dtype, mean: bool = False):
     il = idx_ref[:] - base
     r_tile = idx_ref.shape[1]
     rows = jax.lax.broadcasted_iota(jnp.int32, (c_tile, r_tile), 0)
     g = jnp.zeros((c_tile, r_tile), dtype)
     for d in range(d_nbr):
         g = g + (rows == il[d:d + 1, :]).astype(dtype)
+    if mean:
+        g = mean_colscale(g, dtype)
     return g
 
 
@@ -58,7 +69,7 @@ def _fwd_kernel(idx_ref, xa_ref, xb_ref, wa_ref, wb_ref, b_ref, out_ref,
                 *, spec: GatherLinearSpec, ca: int):
     p = pl.program_id(0)
     md = spec.mat_dtype
-    g = _build_g(idx_ref, p * ca, ca, spec.d_nbr, md)
+    g = _build_g(idx_ref, p * ca, ca, spec.d_nbr, md, spec.mean)
     t1 = jax.lax.dot_general(g, xa_ref[:].astype(md),
                              dimension_numbers=(((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -96,7 +107,7 @@ def _bwd_kernel(idx_ref, xa_ref, xb_ref, wa_ref, wb_ref, b_ref, out_ref,
                 *, spec: GatherLinearSpec, ca: int):
     p = pl.program_id(0)
     md = spec.mat_dtype
-    gmat = _build_g(idx_ref, p * ca, ca, spec.d_nbr, md)
+    gmat = _build_g(idx_ref, p * ca, ca, spec.d_nbr, md, spec.mean)
     t1 = jax.lax.dot_general(gmat, xa_ref[:].astype(md),
                              dimension_numbers=(((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -231,7 +242,7 @@ def _fwd_kernel_r(idx_ref, xa_ref, xr_ref, xb_ref, wa_ref, wb_ref, b_ref,
                   out_ref, *, spec: GatherLinearSpec, ca: int):
     p = pl.program_id(0)
     md = spec.mat_dtype
-    g = _build_g(idx_ref, p * ca, ca, spec.d_nbr, md)
+    g = _build_g(idx_ref, p * ca, ca, spec.d_nbr, md, spec.mean)
     t1 = jax.lax.dot_general(g, xa_ref[:].astype(md),
                              dimension_numbers=(((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -252,7 +263,7 @@ def _bwd_kernel_r(idx_ref, xa_ref, xr_ref, xb_ref, wa_ref, wb_ref, b_ref,
                   dwb_ref, db_ref, *, spec: GatherLinearSpec, ca: int):
     p = pl.program_id(0)
     md = spec.mat_dtype
-    gmat = _build_g(idx_ref, p * ca, ca, spec.d_nbr, md)
+    gmat = _build_g(idx_ref, p * ca, ca, spec.d_nbr, md, spec.mean)
     t1 = jax.lax.dot_general(gmat, xa_ref[:].astype(md),
                              dimension_numbers=(((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -394,7 +405,7 @@ def _fwd_kernel_pool(idx_ref, ng_ref, xa_ref, xr_ref, xb_ref, wa_ref,
                      *, spec: GatherLinearSpec, ca: int):
     p = pl.program_id(0)
     md = spec.mat_dtype
-    g = _build_g(idx_ref, p * ca, ca, spec.d_nbr, md)
+    g = _build_g(idx_ref, p * ca, ca, spec.d_nbr, md, spec.mean)
     t1 = jax.lax.dot_general(g, xa_ref[:].astype(md),
                              dimension_numbers=(((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -427,7 +438,7 @@ def _bwd_kernel_pool(idx_ref, ng_ref, xa_ref, xr_ref, xb_ref, wa_ref,
         gpm, gpool_ref[:].astype(md),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    gmat = _build_g(idx_ref, p * ca, ca, spec.d_nbr, md)
+    gmat = _build_g(idx_ref, p * ca, ca, spec.d_nbr, md, spec.mean)
     t1 = jax.lax.dot_general(gmat, xa_ref[:].astype(md),
                              dimension_numbers=(((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)

@@ -17,9 +17,9 @@ Per-step HBM traffic collapses to the raw inputs (read twice) plus the
 parameter-gradient accumulators — the step becomes MXU-bound.  Weights stay
 resident in VMEM across the grid (constant index maps).
 
-ReLU + aggr='add' only (the reference's defaults); other configs use the
-3-kernel path in models/cgr_mpnn.py, and capture mode uses per-layer
-kernels.  Loss/optimizer remain outside (tiny).
+Activation- and aggregation-general (relu/silu/gelu x add/mean — the whole
+reference config space); capture mode uses per-layer kernels.
+Loss/optimizer remain outside (tiny).
 """
 
 from __future__ import annotations
@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_fused import (_build_mt, _hash_bits, k_act, k_dact,
-                           k_dropout_mask)
+                           k_dropout_mask, mean_colscale)
 
 __all__ = ["ModelKernelSpec", "fused_model", "fused_model_train"]
 
@@ -50,6 +50,10 @@ class ModelKernelSpec:
     mat_dtype: object = jnp.bfloat16
     interpret: bool = False
     act: str = "relu"           # relu | silu | gelu (exact/erf)
+    aggr: str = "add"           # add | mean (DMPNNConv aggr, GNN.py:120):
+                                # mean scales the msg/inc one-hot columns by
+                                # 1/in-degree in-kernel (pallas_fused.
+                                # mean_colscale — the colsum IS the degree)
     # sub-packs fused per grid step: the one-hot matrices are block-diagonal
     # per pack, so q small packs (e.g. te=128) shrink the message matmuls to
     # q x [te,te] while every dense matmul still runs on the concatenated
@@ -69,16 +73,22 @@ class ModelKernelSpec:
         return self.train and self.dropout_ps[l] > 0.0
 
 
-def _onehot(il, base, c_tile, d_nbr, dtype, signed: bool = False):
+def _onehot(il, base, c_tile, d_nbr, dtype, signed: bool = False,
+            mean: bool = False):
     """One-hot matrix [C, R] from transposed index row *values* ``il``
     ([D, R], global ids).  With ``signed``, row d_nbr is the rev row and
-    subtracts (the D-MPNN message matrix, cf. pallas_fused._build_mt)."""
+    subtracts (the D-MPNN message matrix, cf. pallas_fused._build_mt).
+    With ``mean``, the positive part is scaled per column by 1/in-degree
+    (aggr='mean'; the rev row stays unscaled — GNN.py:141 subtracts the
+    raw reverse message)."""
     ilb = il - base
     r_tile = il.shape[1]
     rows = jax.lax.broadcasted_iota(jnp.int32, (c_tile, r_tile), 0)
     g = jnp.zeros((c_tile, r_tile), dtype)
     for d in range(d_nbr):
         g = g + (rows == ilb[d:d + 1, :]).astype(dtype)
+    if mean:
+        g = mean_colscale(g, dtype)
     if signed:
         g = g - (rows == ilb[d_nbr:d_nbr + 1, :]).astype(dtype)
     return g
@@ -146,14 +156,15 @@ def _build_ops(spec, p, idx_send, idx_msg, idx_inc, idx_pool, tn, te, md):
     i_inc, i_pool = idx_inc[:], idx_pool[:]
     dps, dpm = i_send.shape[0] // q, i_msg.shape[0] // q
     dpi, dnp = i_inc.shape[0] // q, i_pool.shape[0] // q
+    mean = spec.aggr == "mean"
     sends, mts, incs, pools = [], [], [], []
     for j in range(q):
         nb, eb = (p * q + j) * tn, (p * q + j) * te
         sends.append(_onehot(i_send[j * dps:(j + 1) * dps], nb, tn, 1, md))
         mts.append(_onehot(i_msg[j * dpm:(j + 1) * dpm], eb, te,
-                           spec.d_nbr, md, signed=True))
+                           spec.d_nbr, md, signed=True, mean=mean))
         incs.append(_onehot(i_inc[j * dpi:(j + 1) * dpi], eb, te,
-                            spec.d_nbr, md))
+                            spec.d_nbr, md, mean=mean))
         pools.append(_onehot(i_pool[j * dnp:(j + 1) * dnp], nb, tn,
                              spec.dn_pool, md))
     return (_BlockDiag(sends, tn, te), _BlockDiag(mts, te, te),

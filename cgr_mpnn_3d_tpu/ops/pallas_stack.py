@@ -50,6 +50,11 @@ class ConvStackSpec:
     out_dtype: object = jnp.bfloat16
     interpret: bool = False
     act: str = "relu"           # relu | silu | gelu (exact/erf)
+    aggr: str = "add"           # add | mean (DMPNNConv aggr, GNN.py:120)
+
+    @property
+    def mean(self) -> bool:
+        return self.aggr == "mean"
 
     def keep(self, l: int) -> float:
         return 1.0 - self.dropout_ps[l]
@@ -79,7 +84,8 @@ def _layer_fwd(spec, l, mt, h, h0, w_ref, b_ref, skips_ref, seeds_ref, p):
 def _fwd_kernel(idx_ref, h0_ref, w_ref, b_ref, skips_ref, seeds_ref,
                 out_ref, *, spec: ConvStackSpec, te: int):
     p = pl.program_id(0)
-    mt = _build_mt(idx_ref, p * te, te, spec.d_nbr, spec.mat_dtype)
+    mt = _build_mt(idx_ref, p * te, te, spec.d_nbr, spec.mat_dtype,
+                   spec.mean)
     h = h0_ref[:]
     for l in range(spec.depth):
         h, _ = _layer_fwd(spec, l, mt, h, h0_ref[:], w_ref, b_ref,
@@ -92,7 +98,7 @@ def _bwd_kernel(idx_ref, h0_ref, w_ref, b_ref, skips_ref, seeds_ref, g_ref,
                 *, spec: ConvStackSpec, te: int):
     p = pl.program_id(0)
     md = spec.mat_dtype
-    mt = _build_mt(idx_ref, p * te, te, spec.d_nbr, md)
+    mt = _build_mt(idx_ref, p * te, te, spec.d_nbr, md, spec.mean)
     h0 = h0_ref[:]
 
     # replay forward, keeping every layer state in VMEM (registers/stack);

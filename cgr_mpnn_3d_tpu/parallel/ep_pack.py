@@ -706,8 +706,11 @@ def supports_ep_fused_train(cfg: CGRMPNNConfig, spec: EPPackSpec) -> bool:
     """Whether the wireless one-kernel train step applies: no boundary
     exchange in the (static) spec and the fused-model kernel's config."""
     from ..models.cgr_mpnn import KERNEL_ACT
+    # aggr='mean' is fine here: zero cut means every incoming edge of a
+    # node lives on its owner shard, so the kernels' in-kernel column-sum
+    # degrees (ops/pallas_fused.mean_colscale) are the TRUE degrees
     return (cfg.use_pallas and cfg.fuse_whole_model
-            and cfg.activation in KERNEL_ACT and cfg.aggr == "add"
+            and cfg.activation in KERNEL_ACT
             and not any(c > 0 for c in spec.caps))
 
 
@@ -756,7 +759,8 @@ def ep_pack_fused_train(params: dict, b: EPPackedBatch, cfg: CGRMPNNConfig,
         p=spec.p, d_nbr=spec.d, dn_pool=spec.dn, depth=cfg.depth,
         dropout_ps=tuple(cfg.dropout_ps), train=rng is not None,
         learnable_skip=cfg.use_learnable_skip, mat_dtype=md,
-        interpret=cfg.pallas_interpret, act=KERNEL_ACT[cfg.activation], q=q)
+        interpret=cfg.pallas_interpret, act=KERNEL_ACT[cfg.activation],
+        aggr=cfg.aggr, q=q)
     flat = kernel_flat_params(params, cfg, F, seeds)
     sse, g = fused_model_train(mspec, x, e,
                                (b.send_t, msg_t, b.inc_t, b.pool_t),
@@ -848,8 +852,11 @@ def ep_pack_forward(params: dict, b: EPPackedBatch, cfg: CGRMPNNConfig,
     # entering as a second one-hot matmul (t = M h + S r), so the EP hot
     # path executes at fused-kernel speed and only the wire is XLA glue
     from ..models.cgr_mpnn import KERNEL_ACT
+    # fused kernels handle mean only when the spec is wireless (local
+    # column-sum degrees are complete at zero cut); wired mean falls back
+    # to the XLA path, which scales by the packer's GLOBAL inv_deg
     use_fused = (cfg.use_pallas and cfg.activation in KERNEL_ACT
-                 and cfg.aggr == "add")
+                 and (cfg.aggr == "add" or not has_wire))
     kact = KERNEL_ACT.get(cfg.activation, "relu")
 
     def linear(p, z):
@@ -949,7 +956,7 @@ def ep_pack_forward(params: dict, b: EPPackedBatch, cfg: CGRMPNNConfig,
                 dropout_ps=tuple(cfg.dropout_ps), train=do_train,
                 learnable_skip=cfg.use_learnable_skip, mat_dtype=md,
                 out_dtype=store_dt, interpret=cfg.pallas_interpret,
-                act=kact)
+                act=kact, aggr=cfg.aggr)
             w_stack = jnp.stack([params["convs"][l]["w"]
                                  for l in range(cfg.depth)])
             b_stack = jnp.stack([params["convs"][l]["b"]
@@ -1059,7 +1066,7 @@ def ep_pack_forward(params: dict, b: EPPackedBatch, cfg: CGRMPNNConfig,
         rspec = GatherLinearSpec(p=spec.p, d_nbr=spec.d, mat_dtype=md,
                                  out_dtype=jnp.float32,
                                  interpret=cfg.pallas_interpret,
-                                 gp=spec.gp, act=kact)
+                                 gp=spec.gp, act=kact, aggr=cfg.aggr)
         # transposed 8-row node-group table (Mosaic sublane rule; row 0 =
         # values, rows 1-7 sentinel), same layout as the index tables
         ng = jnp.full((spec.p, 8, spec.tn), spec.p * spec.gp, jnp.int32)

@@ -145,13 +145,20 @@ def test_giant_graph_spans_all_shards(aggr):
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
 
 
-@pytest.mark.parametrize("n_ep", [1, 4])
-def test_pallas_interpret_matches_xla(small_case, n_ep):
-    # ReLU + add -> this drives the FUSED path in interpret mode: at
-    # n_ep=1 (no wire) the whole-depth stack kernel, at n_ep=4 the
-    # per-layer fused_conv_layer_r with the boundary correction
+@pytest.mark.parametrize("n_ep,aggr", [(1, "add"), (4, "add"),
+                                       (1, "mean"), (4, "mean")])
+def test_pallas_interpret_matches_xla(small_case, n_ep, aggr):
+    # this drives the FUSED path in interpret mode: zero cut (normal
+    # batches) -> the whole-depth stack kernel + readout/pool kernel, for
+    # BOTH aggregations (wireless mean uses the in-kernel column-sum
+    # degrees); a wired spec with add -> fused_conv_layer_r (a wired MEAN
+    # spec would fall back to XLA — covered by
+    # test_giant_graph_spans_all_shards)
     graphs, labels, cfg, params, ref = small_case
-    cfgp = make_cfg(use_pallas=True, pallas_interpret=True)
+    if aggr != "add":
+        ref = single_device_preds(graphs, labels, params,
+                                  make_cfg(aggr=aggr))
+    cfgp = make_cfg(use_pallas=True, pallas_interpret=True, aggr=aggr)
     got, _ = ep_preds(graphs, labels, params, cfgp, n_ep)
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
 
@@ -401,8 +408,9 @@ def test_fused_train_step_with_dropout_learns(small_case):
 # wireless one-kernel train path (VERDICT r3 weakness #1 / next #2)
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("n_ep", [1, 2])
-def test_one_kernel_train_step_matches_xla_path(small_case, n_ep):
+@pytest.mark.parametrize("n_ep,aggr", [(1, "add"), (2, "add"),
+                                       (2, "mean")])
+def test_one_kernel_train_step_matches_xla_path(small_case, n_ep, aggr):
     """For wireless specs (zero cut) the train step runs the single fused
     fwd+bwd kernel per shard (ep_pack_fused_train).  Its loss trajectory
     and final parameters must match the XLA-gather autodiff path on the
@@ -411,8 +419,9 @@ def test_one_kernel_train_step_matches_xla_path(small_case, n_ep):
     from cgr_mpnn_3d_tpu.parallel.ep_pack import supports_ep_fused_train
     from cgr_mpnn_3d_tpu.train.trainer import TrainState
 
-    graphs, labels, cfg_xla, params, _ = small_case
-    cfg_fused = make_cfg(use_pallas=True, pallas_interpret=True)
+    graphs, labels, _, params, _ = small_case
+    cfg_xla = make_cfg(aggr=aggr)
+    cfg_fused = make_cfg(use_pallas=True, pallas_interpret=True, aggr=aggr)
     b, espec = pack_shard_edges(graphs, labels, n_ep, te=64, tn=32)
     assert supports_ep_fused_train(cfg_fused, espec), \
         "normal batches must take the wireless one-kernel path"

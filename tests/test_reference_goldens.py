@@ -166,13 +166,13 @@ def test_goldens_regenerate_bit_identical(tmp_path):
 class TestPallasVsReferenceGoldens:
     """The Pallas kernel path (interpret mode on CPU) checked DIRECTLY
     against the reference's activations — not just against the XLA path —
-    for every add-aggregation golden case incl. GELU (kernels are
-    activation-general since r4; aggr='mean' still falls back to the XLA
-    path, so synth_silu_mean is excluded)."""
+    for EVERY golden case: the kernels are activation- AND aggregation-
+    general since r4 (relu/silu/gelu x add/mean), so synth_silu_mean runs
+    through the one-kernel path too."""
 
     @pytest.mark.parametrize("case", [
         "synth_defaults_relu", "synth_flagship_d4", "synth_gelu_skip",
-        "demo_flagship", "demo_defaults", "demo_3d_skip"])
+        "synth_silu_mean", "demo_flagship", "demo_defaults", "demo_3d_skip"])
     def test_pallas_predictions_match_reference(self, case):
         from dataclasses import replace
         with np.load(GOLDENS, allow_pickle=True) as z:
