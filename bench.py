@@ -107,7 +107,7 @@ def _bench_parallel(args, graphs, n_edges_real, nf) -> None:
     cfg = CGRMPNNConfig(
         num_node_features=nf, num_edge_features=14, depth=4,
         hidden_sizes=(args.hidden,) * 4, dropout_ps=(0.0,) * 4,
-        activation=args.activation, aggr=args.aggr,
+        activation=args.activation, aggr=args.aggr, pooling=args.pooling,
         compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16"
         else jnp.float32,
         use_pallas=use_pallas, pallas_sub_packs=args.q)
@@ -316,6 +316,8 @@ def main() -> None:
                     help="Pallas per-layer kernels but NOT the one-kernel "
                          "train step (cheaper Mosaic compile, more HBM "
                          "traffic)")
+    ap.add_argument("--pooling", default="add", choices=["add", "mean"],
+                    help="graph pooling (global_add_pool / global_mean_pool)")
     ap.add_argument("--aggr", default="add", choices=["add", "mean"],
                     help="D-MPNN aggregation (kernels are aggregation-"
                          "general: mean folds the 1/deg column scale into "
@@ -407,7 +409,7 @@ def main() -> None:
     cfg = CGRMPNNConfig(
         num_node_features=nf, num_edge_features=14, depth=4,
         hidden_sizes=(args.hidden,) * 4, dropout_ps=(0.0,) * 4,
-        activation=args.activation, aggr=args.aggr,
+        activation=args.activation, aggr=args.aggr, pooling=args.pooling,
         compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16"
         else jnp.float32,
         use_pallas=use_pallas, pallas_sub_packs=args.q)

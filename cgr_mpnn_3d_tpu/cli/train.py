@@ -37,6 +37,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     choices=["ReLU", "SiLU", "GELU"])
     ap.add_argument("--aggr", default="add", choices=["add", "mean"],
                     help="D-MPNN aggregation (GNN.py DMPNNConv aggr)")
+    ap.add_argument("--pooling", default="add", choices=["add", "mean"],
+                    help="graph pooling (GNN.py pooling_fn: "
+                         "global_add_pool / global_mean_pool)")
     ap.add_argument("--save_path", default="saved_models")
     ap.add_argument("--learnable_skip", action="store_true")
     ap.add_argument("-lr", "--learning_rate", default=1e-3, type=float)
@@ -157,6 +160,7 @@ def train(args) -> dict:
         dropout_ps=tuple(args.dropout_ps),
         activation=args.activation_fn,
         aggr=args.aggr,
+        pooling=args.pooling,
         use_learnable_skip=args.learnable_skip,
         compute_dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16"
         else jnp.float32,

@@ -62,6 +62,9 @@ class CGRMPNNConfig:
     dropout_ps: tuple[float, ...] = ()     # defaults to (0.02,)*depth (GNN.py:47)
     activation: str = "ReLU"
     aggr: str = "add"                      # 'add' | 'mean' (DMPNNConv aggr)
+    pooling: str = "add"                   # 'add' | 'mean' (GNN.py:23
+                                           # pooling_fn: global_add_pool /
+                                           # global_mean_pool)
     use_learnable_skip: bool = False
     compute_dtype: Any = jnp.float32       # bf16 on TPU for speed; f32 parity
     use_pallas: bool = False               # one-hot SpMM kernels (needs spec)
@@ -97,6 +100,8 @@ class CGRMPNNConfig:
             raise ValueError("hidden_sizes must be uniform")
         if self.aggr not in ("add", "mean"):
             raise ValueError(f"unsupported aggr {self.aggr!r}")
+        if self.pooling not in ("add", "mean"):
+            raise ValueError(f"unsupported pooling {self.pooling!r}")
         if self.activation not in ACTIVATIONS:
             raise ValueError(f"unsupported activation {self.activation!r}")
 
@@ -235,7 +240,8 @@ def apply(params: dict, batch: PackedGraphBatch, cfg: CGRMPNNConfig,
             depth=cfg.depth, dropout_ps=tuple(cfg.dropout_ps),
             train=do_train, learnable_skip=cfg.use_learnable_skip,
             mat_dtype=md, interpret=cfg.pallas_interpret,
-            act=kact, aggr=cfg.aggr, q=cfg.pallas_sub_packs)
+            act=kact, aggr=cfg.aggr, pooling=cfg.pooling,
+            q=cfg.pallas_sub_packs)
         wei = params["edge_init"]["w"]
         wen = params["edge_to_node"]["w"]
         w_stack = jnp.stack([params["convs"][l]["w"]
@@ -351,6 +357,14 @@ def apply(params: dict, batch: PackedGraphBatch, cfg: CGRMPNNConfig,
             acts["h_node"] = hn
 
     pooled = _pool(hn, batch.graph_nodes, batch.graph_of_node)
+    if cfg.pooling == "mean":
+        # global_mean_pool (GNN.py:23): divide each graph's summed node
+        # embedding by its node count (padding slots are sentinel rows)
+        n_cnt = (batch.graph_nodes < batch.node_x.shape[0]).sum(
+            axis=1).astype(jnp.float32)
+        pooled = pooled * jnp.where(n_cnt > 0,
+                                    1.0 / jnp.maximum(n_cnt, 1.0),
+                                    0.0)[:, None]
     out = _linear(params["ffn"], pooled, dt)[:, 0]
     if capture:
         acts["pooled"] = pooled
@@ -443,7 +457,7 @@ def fused_train_value_and_grad(params: dict, batch: PackedGraphBatch,
         train=rng is not None,
         learnable_skip=cfg.use_learnable_skip, mat_dtype=md,
         interpret=cfg.pallas_interpret, act=KERNEL_ACT[cfg.activation],
-        aggr=cfg.aggr, q=cfg.pallas_sub_packs)
+        aggr=cfg.aggr, pooling=cfg.pooling, q=cfg.pallas_sub_packs)
     flat = kernel_flat_params(params, cfg, F, seeds)
     sse, g = fused_model_train(
         mspec, x, e,

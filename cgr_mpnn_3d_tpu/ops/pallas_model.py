@@ -54,6 +54,9 @@ class ModelKernelSpec:
                                 # mean scales the msg/inc one-hot columns by
                                 # 1/in-degree in-kernel (pallas_fused.
                                 # mean_colscale — the colsum IS the degree)
+    pooling: str = "add"        # add | mean (GNN.py:23 pooling_fn): mean
+                                # applies the same column scale to the pool
+                                # one-hot (colsum = the graph's node count)
     # sub-packs fused per grid step: the one-hot matrices are block-diagonal
     # per pack, so q small packs (e.g. te=128) shrink the message matmuls to
     # q x [te,te] while every dense matmul still runs on the concatenated
@@ -157,6 +160,7 @@ def _build_ops(spec, p, idx_send, idx_msg, idx_inc, idx_pool, tn, te, md):
     dps, dpm = i_send.shape[0] // q, i_msg.shape[0] // q
     dpi, dnp = i_inc.shape[0] // q, i_pool.shape[0] // q
     mean = spec.aggr == "mean"
+    mean_pool = spec.pooling == "mean"
     sends, mts, incs, pools = [], [], [], []
     for j in range(q):
         nb, eb = (p * q + j) * tn, (p * q + j) * te
@@ -166,7 +170,7 @@ def _build_ops(spec, p, idx_send, idx_msg, idx_inc, idx_pool, tn, te, md):
         incs.append(_onehot(i_inc[j * dpi:(j + 1) * dpi], eb, te,
                             spec.d_nbr, md, mean=mean))
         pools.append(_onehot(i_pool[j * dnp:(j + 1) * dnp], nb, tn,
-                             spec.dn_pool, md))
+                             spec.dn_pool, md, mean=mean_pool))
     return (_BlockDiag(sends, tn, te), _BlockDiag(mts, te, te),
             _BlockDiag(incs, te, tn),
             _BlockDiag(pools, tn, idx_pool.shape[1]))

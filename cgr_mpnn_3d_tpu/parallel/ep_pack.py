@@ -760,7 +760,7 @@ def ep_pack_fused_train(params: dict, b: EPPackedBatch, cfg: CGRMPNNConfig,
         dropout_ps=tuple(cfg.dropout_ps), train=rng is not None,
         learnable_skip=cfg.use_learnable_skip, mat_dtype=md,
         interpret=cfg.pallas_interpret, act=KERNEL_ACT[cfg.activation],
-        aggr=cfg.aggr, q=q)
+        aggr=cfg.aggr, pooling=cfg.pooling, q=q)
     flat = kernel_flat_params(params, cfg, F, seeds)
     sse, g = fused_model_train(mspec, x, e,
                                (b.send_t, msg_t, b.inc_t, b.pool_t),
@@ -1080,6 +1080,15 @@ def ep_pack_forward(params: dict, b: EPPackedBatch, cfg: CGRMPNNConfig,
         s = complete(h)                                      # [PN, H] owned
         hn = act(linear_cat(params["edge_to_node"], x, s))
         pool = node_partial_sum(hn, b.graph_nodes, b.node_graph)  # [B, H]
+    if cfg.pooling == "mean":
+        # global_mean_pool: the per-shard pool rows are PARTIAL sums, so
+        # the divisor must be the graph's GLOBAL node count — psum the
+        # owned-slot counts, then scale the local partial (the scale is a
+        # constant per graph, so psum(scaled partials) = mean * count/count)
+        local_cnt = (b.graph_nodes < spec.pn).sum(axis=1).astype(jnp.float32)
+        cnt = jax.lax.psum(local_cnt, axis)
+        pool = pool * jnp.where(cnt > 0, 1.0 / jnp.maximum(cnt, 1.0),
+                                0.0)[:, None]
     # ffn bias split as b/n_ep so per-shard autodiff + gradient psum is exact
     z = jnp.dot(pool.astype(dt), params["ffn"]["w"].astype(dt),
                 preferred_element_type=jnp.float32) \

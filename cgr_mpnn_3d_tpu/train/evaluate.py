@@ -34,6 +34,7 @@ def load_model(ckpt_path: str | Path) -> tuple[dict, CGRMPNNConfig, dict]:
         dropout_ps=tuple(mcfg["dropout_ps"]),
         activation=mcfg.get("activation", "ReLU"),
         aggr=mcfg.get("aggr", "add"),
+        pooling=mcfg.get("pooling", "add"),
         use_learnable_skip=bool(mcfg.get("use_learnable_skip", False)),
     )
     params_template = init_params(jax.random.PRNGKey(0), cfg)

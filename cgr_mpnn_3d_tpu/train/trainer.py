@@ -343,6 +343,7 @@ class RxnGraphTrainer:
                 "dropout_ps": list(self.cfg.dropout_ps),
                 "activation": self.cfg.activation,
                 "aggr": self.cfg.aggr,
+                "pooling": self.cfg.pooling,
                 "use_learnable_skip": self.cfg.use_learnable_skip,
             },
             "best_val_loss": self.best_val_loss,

@@ -145,9 +145,10 @@ def test_giant_graph_spans_all_shards(aggr):
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
 
 
-@pytest.mark.parametrize("n_ep,aggr", [(1, "add"), (4, "add"),
-                                       (1, "mean"), (4, "mean")])
-def test_pallas_interpret_matches_xla(small_case, n_ep, aggr):
+@pytest.mark.parametrize("n_ep,aggr,pooling", [
+    (1, "add", "add"), (4, "add", "add"), (1, "mean", "add"),
+    (4, "mean", "add"), (1, "add", "mean"), (4, "mean", "mean")])
+def test_pallas_interpret_matches_xla(small_case, n_ep, aggr, pooling):
     # this drives the FUSED path in interpret mode: zero cut (normal
     # batches) -> the whole-depth stack kernel + readout/pool kernel, for
     # BOTH aggregations (wireless mean uses the in-kernel column-sum
@@ -155,10 +156,11 @@ def test_pallas_interpret_matches_xla(small_case, n_ep, aggr):
     # spec would fall back to XLA — covered by
     # test_giant_graph_spans_all_shards)
     graphs, labels, cfg, params, ref = small_case
-    if aggr != "add":
+    if (aggr, pooling) != ("add", "add"):
         ref = single_device_preds(graphs, labels, params,
-                                  make_cfg(aggr=aggr))
-    cfgp = make_cfg(use_pallas=True, pallas_interpret=True, aggr=aggr)
+                                  make_cfg(aggr=aggr, pooling=pooling))
+    cfgp = make_cfg(use_pallas=True, pallas_interpret=True, aggr=aggr,
+                    pooling=pooling)
     got, _ = ep_preds(graphs, labels, params, cfgp, n_ep)
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
 
@@ -408,9 +410,11 @@ def test_fused_train_step_with_dropout_learns(small_case):
 # wireless one-kernel train path (VERDICT r3 weakness #1 / next #2)
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("n_ep,aggr", [(1, "add"), (2, "add"),
-                                       (2, "mean")])
-def test_one_kernel_train_step_matches_xla_path(small_case, n_ep, aggr):
+@pytest.mark.parametrize("n_ep,aggr,pooling", [
+    (1, "add", "add"), (2, "add", "add"), (2, "mean", "add"),
+    (2, "add", "mean"), (1, "mean", "mean")])
+def test_one_kernel_train_step_matches_xla_path(small_case, n_ep, aggr,
+                                                pooling):
     """For wireless specs (zero cut) the train step runs the single fused
     fwd+bwd kernel per shard (ep_pack_fused_train).  Its loss trajectory
     and final parameters must match the XLA-gather autodiff path on the
@@ -420,8 +424,9 @@ def test_one_kernel_train_step_matches_xla_path(small_case, n_ep, aggr):
     from cgr_mpnn_3d_tpu.train.trainer import TrainState
 
     graphs, labels, _, params, _ = small_case
-    cfg_xla = make_cfg(aggr=aggr)
-    cfg_fused = make_cfg(use_pallas=True, pallas_interpret=True, aggr=aggr)
+    cfg_xla = make_cfg(aggr=aggr, pooling=pooling)
+    cfg_fused = make_cfg(use_pallas=True, pallas_interpret=True, aggr=aggr,
+                         pooling=pooling)
     b, espec = pack_shard_edges(graphs, labels, n_ep, te=64, tn=32)
     assert supports_ep_fused_train(cfg_fused, espec), \
         "normal batches must take the wireless one-kernel path"

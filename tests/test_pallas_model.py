@@ -23,10 +23,12 @@ def packed():
     return spec, pack_graphs(graphs, LABELS, spec)
 
 
-def _cfgs(depth=3, learnable=False, q=1, act="ReLU", aggr="add"):
+def _cfgs(depth=3, learnable=False, q=1, act="ReLU", aggr="add",
+          pooling="add"):
     kw = dict(num_node_features=78, num_edge_features=14, depth=depth,
               hidden_sizes=(16,) * depth, dropout_ps=(0.0,) * depth,
-              use_learnable_skip=learnable, activation=act, aggr=aggr)
+              use_learnable_skip=learnable, activation=act, aggr=aggr,
+              pooling=pooling)
     cfg_x = CGRMPNNConfig(**kw)
     cfg_m = CGRMPNNConfig(**kw, use_pallas=True, pallas_interpret=True,
                           pallas_sub_packs=q)
@@ -35,12 +37,14 @@ def _cfgs(depth=3, learnable=False, q=1, act="ReLU", aggr="add"):
 
 
 class TestWholeModelKernel:
-    @pytest.mark.parametrize("q,act,aggr", [
-        (1, "ReLU", "add"), (2, "ReLU", "add"), (1, "SiLU", "add"),
-        (1, "GELU", "add"), (1, "ReLU", "mean"), (2, "SiLU", "mean")])
-    def test_forward_matches(self, packed, q, act, aggr):
+    @pytest.mark.parametrize("q,act,aggr,pooling", [
+        (1, "ReLU", "add", "add"), (2, "ReLU", "add", "add"),
+        (1, "SiLU", "add", "add"), (1, "GELU", "add", "add"),
+        (1, "ReLU", "mean", "add"), (2, "SiLU", "mean", "add"),
+        (1, "ReLU", "add", "mean"), (2, "ReLU", "mean", "mean")])
+    def test_forward_matches(self, packed, q, act, aggr, pooling):
         spec, batch = packed
-        cfg_x, cfg_m = _cfgs(q=q, act=act, aggr=aggr)
+        cfg_x, cfg_m = _cfgs(q=q, act=act, aggr=aggr, pooling=pooling)
         params = init_params(jax.random.PRNGKey(0), cfg_x)
         p_x = np.asarray(apply(params, batch, cfg_x))
         p_m = np.asarray(apply(params, batch, cfg_m, spec))
@@ -90,15 +94,19 @@ class TestWholeModelKernel:
         assert not np.allclose(p_tr1[mask], p_eval[mask])
         assert not np.allclose(p_tr1[mask], p_tr3[mask])
 
-    @pytest.mark.parametrize("q,act,aggr", [
-        (1, "ReLU", "add"), (2, "ReLU", "add"), (1, "SiLU", "add"),
-        (1, "GELU", "add"), (1, "ReLU", "mean"), (2, "SiLU", "mean")])
-    def test_fused_train_step_matches_autodiff(self, packed, q, act, aggr):
+    @pytest.mark.parametrize("q,act,aggr,pooling", [
+        (1, "ReLU", "add", "add"), (2, "ReLU", "add", "add"),
+        (1, "SiLU", "add", "add"), (1, "GELU", "add", "add"),
+        (1, "ReLU", "mean", "add"), (2, "SiLU", "mean", "add"),
+        (1, "ReLU", "add", "mean"), (2, "SiLU", "mean", "mean")])
+    def test_fused_train_step_matches_autodiff(self, packed, q, act, aggr,
+                                               pooling):
         from cgr_mpnn_3d_tpu.models.cgr_mpnn import (
             fused_train_value_and_grad, supports_fused_train)
         from cgr_mpnn_3d_tpu.train import sse_loss
         spec, batch = packed
-        cfg_x, cfg_m = _cfgs(learnable=True, q=q, act=act, aggr=aggr)
+        cfg_x, cfg_m = _cfgs(learnable=True, q=q, act=act, aggr=aggr,
+                             pooling=pooling)
         assert supports_fused_train(cfg_m)
         params = init_params(jax.random.PRNGKey(9), cfg_x)
         params["skip_weights"] = [jnp.asarray(v) for v in (1.0, 0.4, -0.6)]

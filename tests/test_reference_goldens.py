@@ -34,7 +34,9 @@ def _cases(z):
 def _rebuild(z, case):
     """goldens -> (our params pytree, GraphArrays list, cfg, activations)."""
     depth, hidden, skip = (int(v) for v in z[f"{case}/meta"])
-    act_name, aggr = (str(s) for s in z[f"{case}/meta_str"])
+    mstr = [str(s) for s in z[f"{case}/meta_str"]]
+    act_name, aggr = mstr[0], mstr[1]
+    pooling = mstr[2] if len(mstr) > 2 else "add"
 
     params = {
         "edge_init": {"w": z[f"{case}/param/edge_init.w"],
@@ -74,7 +76,7 @@ def _rebuild(z, case):
         dropout_ps=(0.0,) * depth,
         activation={"relu": "ReLU", "gelu": "GELU",
                     "silu": "SiLU"}[act_name.lower()],
-        aggr=aggr, use_learnable_skip=bool(skip))
+        aggr=aggr, pooling=pooling, use_learnable_skip=bool(skip))
     acts = {k.split("/", 2)[2]: z[k] for k in z.files
             if k.startswith(f"{case}/act/")}
     return params, graphs, cfg, acts
@@ -103,12 +105,13 @@ class TestReferenceGoldens:
         # synthetic sweeps every config axis; demo cases cover real
         # chemistry incl. a MACE-widened node-feature block
         assert {"synth_defaults_relu", "synth_flagship_d4",
-                "synth_gelu_skip", "synth_silu_mean", "demo_flagship",
-                "demo_defaults", "demo_3d_skip"} <= set(cases)
+                "synth_gelu_skip", "synth_silu_mean", "synth_relu_meanpool",
+                "demo_flagship", "demo_defaults", "demo_3d_skip"} <= set(cases)
 
     @pytest.mark.parametrize("case", [
         "synth_defaults_relu", "synth_flagship_d4", "synth_gelu_skip",
-        "synth_silu_mean", "demo_flagship", "demo_defaults", "demo_3d_skip"])
+        "synth_silu_mean", "synth_relu_meanpool", "demo_flagship",
+        "demo_defaults", "demo_3d_skip"])
     def test_per_layer_allclose(self, z, case):
         params, graphs, cfg, gold = _rebuild(z, case)
         batch, E, N, B = _pack(graphs)
@@ -172,7 +175,8 @@ class TestPallasVsReferenceGoldens:
 
     @pytest.mark.parametrize("case", [
         "synth_defaults_relu", "synth_flagship_d4", "synth_gelu_skip",
-        "synth_silu_mean", "demo_flagship", "demo_defaults", "demo_3d_skip"])
+        "synth_silu_mean", "synth_relu_meanpool", "demo_flagship",
+        "demo_defaults", "demo_3d_skip"])
     def test_pallas_predictions_match_reference(self, case):
         from dataclasses import replace
         with np.load(GOLDENS, allow_pickle=True) as z:

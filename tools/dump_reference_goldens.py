@@ -81,10 +81,19 @@ def _install_tg_shim(torch):
         out.index_add_(0, batch, x)
         return out
 
+    def global_mean_pool(x, batch):
+        n = int(batch.max().item()) + 1
+        out = torch.zeros((n, x.shape[1]), dtype=x.dtype)
+        out.index_add_(0, batch, x)
+        cnt = torch.zeros(n, dtype=x.dtype)
+        cnt.index_add_(0, batch, torch.ones(batch.shape[0], dtype=x.dtype))
+        return out / cnt.clamp(min=1.0).unsqueeze(1)
+
     tg = types.ModuleType("torch_geometric")
     tg_nn = types.ModuleType("torch_geometric.nn")
     tg_nn.MessagePassing = MessagePassing
     tg_nn.global_add_pool = global_add_pool
+    tg_nn.global_mean_pool = global_mean_pool
     tg.nn = tg_nn
     sys.modules["torch_geometric"] = tg
     sys.modules["torch_geometric.nn"] = tg_nn
@@ -219,29 +228,34 @@ def seed_params(model, rng, learnable_skip):
 # ---------------------------------------------------------------------------
 
 CONFIGS = {
-    # name: depth, hidden, activation, aggr, learnable_skip
-    "defaults_relu": (3, 48, "ReLU", "add", False),
-    "flagship_d4": (4, 56, "ReLU", "add", False),
-    "gelu_skip": (2, 40, "GELU", "add", True),
-    "silu_mean": (3, 32, "SiLU", "mean", False),
+    # name: depth, hidden, activation, aggr, learnable_skip, pooling
+    "defaults_relu": (3, 48, "ReLU", "add", False, "add"),
+    "flagship_d4": (4, 56, "ReLU", "add", False, "add"),
+    "gelu_skip": (2, 40, "GELU", "add", True, "add"),
+    "silu_mean": (3, 32, "SiLU", "mean", False, "add"),
+    # GNN.py:23 pooling_fn=global_mean_pool (the reference's other pooling)
+    "relu_meanpool": (3, 40, "ReLU", "add", False, "mean"),
 }
 
 ACT = {"ReLU": "relu", "GELU": "gelu", "SiLU": "silu"}
 
 
 def run_case(gnn_mod, case_name, graphs, depth, hidden, act_name, aggr,
-             learnable_skip, param_seed):
+             learnable_skip, param_seed, pooling="add"):
     import torch
     import torch.nn.functional as F
 
     x, e, edge_index, bvec, n_nodes, n_edges = disjoint_union(graphs)
     act_fn = getattr(F, ACT[act_name])
 
+    tg_nn = sys.modules["torch_geometric.nn"]
+    pool_fn = (tg_nn.global_mean_pool if pooling == "mean"
+               else tg_nn.global_add_pool)
     model = gnn_mod.GNN(
         num_node_features=x.shape[1], num_edge_features=e.shape[1],
         depth=depth, hidden_sizes=[hidden] * depth,
         dropout_ps=[0.0] * depth, activation_fn=act_fn, aggr=aggr,
-        use_learnable_skip=learnable_skip)
+        pooling_fn=pool_fn, use_learnable_skip=learnable_skip)
     model.eval()
     params = seed_params(model, np.random.default_rng(param_seed),
                          learnable_skip)
@@ -301,7 +315,7 @@ def run_case(gnn_mod, case_name, graphs, depth, hidden, act_name, aggr,
     out[f"{case_name}/in/n_edges"] = n_edges
     out[f"{case_name}/meta"] = np.asarray(
         [depth, hidden, int(learnable_skip)], np.int64)
-    out[f"{case_name}/meta_str"] = np.asarray([act_name, aggr])
+    out[f"{case_name}/meta_str"] = np.asarray([act_name, aggr, pooling])
     return out
 
 
@@ -356,10 +370,11 @@ def main(argv=None):
     demo_3d = demo_batch(extra_dim=24, seed=3)
 
     import zlib
-    for cname, (depth, hidden, act, aggr, skip) in CONFIGS.items():
+    for cname, (depth, hidden, act, aggr, skip, pool) in CONFIGS.items():
         out.update(run_case(gnn_mod, f"synth_{cname}", synth, depth, hidden,
                             act, aggr, skip,
-                            param_seed=zlib.crc32(cname.encode())))
+                            param_seed=zlib.crc32(cname.encode()),
+                            pooling=pool))
     out.update(run_case(gnn_mod, "demo_flagship", demo, 4, 64, "ReLU",
                         "add", False, param_seed=11))
     out.update(run_case(gnn_mod, "demo_defaults", demo, 3, 48, "ReLU",
