@@ -24,8 +24,9 @@ across grid steps:
     db   += sum_e dpre
     dskip += sum dpre*h0
 
-Restriction: ReLU activation only (the reference's default and headline
-config); other activations use the semi-fused path.
+Activation-general (spec.act: relu/silu/exact-gelu) and
+aggregation-general (spec.aggr: add/mean via the in-kernel column scale,
+see mean_colscale).
 
 Edge-partitioned variant (:func:`fused_conv_layer_r`): the distributed layer
 (parallel/ep_pack.py) is ``t = M @ h + S @ r`` where ``r`` is the per-node

@@ -13,8 +13,9 @@ matmuls, bias, ReLU) runs in one VMEM pass per pack.  The backward reuses
 the in-VMEM G for its transpose contraction (dxa = G @ (dpre @ Wa^T)) and
 accumulates dWa/dWb/db across packs, so no reverse index arrays are needed.
 
-ReLU-only (the reference default); other activations take the semi-fused
-path in models/cgr_mpnn.py.
+Activation-general (spec.act) and aggregation-general: the readout
+instance reuses the conv's aggregation (GNN.py:105), so spec.aggr='mean'
+applies the 1/in-degree column scale to its incoming-sum one-hot.
 """
 
 from __future__ import annotations

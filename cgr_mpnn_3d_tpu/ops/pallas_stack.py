@@ -19,7 +19,7 @@ device's effective ~137 GB/s; the per-layer fused kernel 1.69 ms).
 Because the stack starts at h == h0 (GNN.py:87 ``h = h_0``) and h0 feeds
 every layer's skip, the ONLY input cotangent is dh0; per-layer dropout masks
 are regenerated from the hash (ops/pallas_fused._hash_bits), so no masks are
-stored.  ReLU-only, like the per-layer kernel.
+stored.  Activation- and aggregation-general, like the per-layer kernel.
 """
 
 from __future__ import annotations

@@ -69,6 +69,27 @@ class TestTrainCLI:
         assert "test_losses" in payload
         assert "train_losses" in payload
 
+    def test_mean_aggr_and_pooling_round_trip(self, datasets, tmp_path,
+                                              monkeypatch):
+        """--aggr mean --pooling mean train end-to-end; the sidecar must
+        record both so cli.test rebuilds the same model (test loss ==
+        final val loss on identical data)."""
+        from cgr_mpnn_3d_tpu.cli.test import main as test_main
+        from cgr_mpnn_3d_tpu.cli.train import main
+        monkeypatch.chdir(tmp_path)
+        main(["--name", "CGR", "-d", "2", "--hidden_sizes", "16",
+              "--dropout_ps", "0.0", "--aggr", "mean", "--pooling", "mean",
+              "-ne", "2", "-bs", "4", "--data_path", str(datasets),
+              "--save_path", str(tmp_path / "saved_mm"),
+              "--val_frequency", "1", "--skip_test"])
+        ckpt, = [p for p in (tmp_path / "saved_mm").glob("CGR_*.npz")
+                 if "latest" not in p.name]
+        meta = json.load(open(ckpt.with_suffix(".json")))
+        assert meta["model"]["aggr"] == "mean"
+        assert meta["model"]["pooling"] == "mean"
+        test_main(["--path_trained_model", str(ckpt),
+                   "--data_path", str(datasets)])
+
     def test_cgr_mpnn_3d_with_npz(self, datasets, tmp_path, monkeypatch):
         from cgr_mpnn_3d_tpu.cli.train import main
         monkeypatch.chdir(tmp_path)
