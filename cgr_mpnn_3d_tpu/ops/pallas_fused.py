@@ -98,7 +98,11 @@ def k_act(name: str, pre):
 
     Matches models.cgr_mpnn.ACTIVATIONS: SiLU = x*sigmoid(x), GELU = the
     exact erf form (torch F.gelu default, GNN.py activation_fn), with erf
-    itself at f32-epsilon accuracy (see :func:`_erf`)."""
+    itself at f32-epsilon accuracy (see :func:`_erf`).  An exp-free
+    Chebyshev-series erf (15-term Clenshaw) was tried and measured SLOWER
+    (5.75 vs 7.29 Medge/s end-to-end): the recurrence is a serial FMA
+    dependency chain per element, while the VPU's exp is a fast pipelined
+    primitive — lever tried and retired with data (r4)."""
     if name == "linear":     # identity: the overlap path's kernel A emits
         return pre           # pre-activations; act/dropout finish in XLA
     if name == "relu":
@@ -121,8 +125,20 @@ def k_dact(name: str, pre):
         s = jax.lax.logistic(pre)
         return s * (1.0 + pre * (1.0 - s))
     if name == "gelu":
-        cdf = 0.5 * (1.0 + _erf(pre * _SQRT_HALF))
-        pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * pre * pre)
+        # gelu'(x) = cdf(x) + x*pdf(x).  The erf inside cdf evaluates
+        # exp(-y^2) with y = x/sqrt(2) — which IS the pdf exponential
+        # exp(-x^2/2) — so one exp serves both (the separate-_erf version
+        # spent two exps per element here)
+        y = pre * _SQRT_HALF
+        ay = jnp.abs(y)
+        t = 1.0 / (1.0 + 0.3275911 * ay)
+        poly = t * (0.254829592 + t * (-0.284496736 + t * (
+            1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+        ex = jnp.exp(-ay * ay)
+        e = 1.0 - poly * ex
+        erf = jnp.where(y < 0.0, -e, e)
+        cdf = 0.5 * (1.0 + erf)
+        pdf = _INV_SQRT_2PI * ex
         return cdf + pre * pdf
     raise ValueError(f"unsupported kernel activation {name!r}")
 
