@@ -100,6 +100,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                          "already run the one-kernel step)")
     ap.add_argument("--ep_tn", default=72, type=int,
                     help="EP pack tile: node slots per pack")
+    ap.add_argument("--loader_workers", default=1, type=int,
+                    help="parallel packing threads in the host input "
+                         "pipeline (~1 per 2 host vCPUs)")
+    ap.add_argument("--reuse_packs", action="store_true",
+                    help="pack each epoch once and reuse across epochs "
+                         "(batch-order shuffle; kills host packing cost "
+                         "from epoch 2 on)")
     ap.add_argument("--steps_per_call", default=1, type=int,
                     help="train steps per device dispatch (lax.scan); >1 "
                          "amortizes host round-trip latency BUT coarsens "
@@ -198,6 +205,7 @@ def train(args) -> dict:
         batch_size=args.batch_size, val_frequency=args.val_frequency,
         model_save_dir=args.save_path, seed=args.seed, logger=logger,
         resume_from=args.resume, steps_per_call=args.steps_per_call,
+        loader_workers=args.loader_workers, reuse_packs=args.reuse_packs,
         n_dp=args.dp, n_ep=args.ep, ep_te=args.ep_te,
         ep_tn=args.ep_tn, ckpt_every_steps=args.ckpt_every_steps)
     return trainer.train()

@@ -44,6 +44,23 @@ class PackedLoader:
     # round the pack count up to a multiple (the fused kernel's sub-pack
     # fusion q requires spec.p % q == 0); extra packs are empty/masked
     round_packs_to: int = 1
+    # parallel speculative packing in prefetch(): N threads pack upcoming
+    # windows concurrently (the native packer's ctypes call releases the
+    # GIL).  Yields BIT-IDENTICAL batches to serial iteration: speculation
+    # only applies to carry-free aligned windows; a window overflow (rare —
+    # spec is sized for batch_size) discards the lookahead and re-packs
+    # synchronously.  Size to the host: ~1 worker per 2 vCPUs.
+    workers: int = 1
+    # pack each epoch's batches ONCE and reuse them across epochs, shuffling
+    # BATCH order per epoch instead of graph order.  Kills the host-side
+    # packing cost from epoch 2 on (measured: the chip consumes ~16 Medge/s
+    # while one 2-vCPU host packs ~3 Medge/s — without reuse the input
+    # pipeline is the bottleneck on small hosts).  Tradeoff: graph-to-batch
+    # assignment is frozen after epoch 1 (shuffle granularity becomes the
+    # batch, webdataset-shard-style); gradient noise is marginally less
+    # i.i.d.  Memory: one epoch of packed arrays (~50 MB for a T1x-sized
+    # split at bs=64).
+    reuse_packs: bool = False
 
     def __post_init__(self):
         packs = max(1, int(np.ceil(self.batch_size / self.spec.tb)))
@@ -51,6 +68,7 @@ class PackedLoader:
         packs = -(-packs // r) * r
         self.spec = self.spec.with_packs(packs)
         self._epoch = 0
+        self._pack_cache: list[PackedGraphBatch] | None = None
         if self.use_native is None:
             from .. import native
             self.use_native = native.available()
@@ -97,22 +115,88 @@ class PackedLoader:
         raise RuntimeError("unreachable")
 
     def __iter__(self) -> Iterator[PackedGraphBatch]:
-        order = list(self._order())
-        pending: list[int] = []
-        pos = 0
-        while pos < len(order) or pending:
-            take = self.batch_size - len(pending)
-            pending.extend(order[pos:pos + take])
-            pos += take
-            if (self.drop_last and pos >= len(order)
-                    and len(pending) < self.batch_size):
-                return  # skip the final partial batch
-            batch, used = self._pack_window(pending)
-            pending = pending[used:]
-            yield batch
+        if self.reuse_packs:
+            if self._pack_cache is None:
+                # compose the cache from the FIXED epoch-0 graph order so a
+                # resumed process rebuilds bit-identical batches regardless
+                # of which epoch it resumes into; per-epoch randomness is
+                # the batch-order shuffle in _iter_cached
+                saved = self._epoch
+                self._epoch = 0
+                try:
+                    self._pack_cache = list(self._iter_pack(self.workers))
+                finally:
+                    self._epoch = saved
+            yield from self._iter_cached()
+            return
+        yield from self._iter_pack(self.workers)
 
-    def prefetch(self, depth: int = 2) -> Iterator[PackedGraphBatch]:
-        """Background-thread producer (overlaps packing with device steps)."""
+    def _iter_cached(self) -> Iterator[PackedGraphBatch]:
+        """Reuse-epoch path: cached batches in epoch-seeded order."""
+        order = np.arange(len(self._pack_cache))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+        for i in order:
+            yield self._pack_cache[i]
+
+    def _iter_pack(self, workers: int) -> Iterator[PackedGraphBatch]:
+        """Pack-every-window iteration; with ``workers > 1``, upcoming
+        carry-free aligned windows are packed speculatively on a thread
+        pool (bit-identical output to the serial path — misaligned windows
+        after an overflow are packed synchronously)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        order = list(self._order())
+        ex = (ThreadPoolExecutor(workers) if workers > 1 else None)
+        futures: dict[int, object] = {}     # aligned start pos -> Future
+        lookahead = (workers + 2) if ex is not None else 0
+
+        def spawn(start: int) -> None:
+            win = order[start:start + self.batch_size]
+            if win and start not in futures:
+                if self.drop_last and len(win) < self.batch_size:
+                    return
+                futures[start] = ex.submit(self._pack_window, list(win))
+
+        try:
+            pending: list[int] = []
+            pos = 0
+            if ex is not None:
+                for k in range(lookahead):
+                    spawn(k * self.batch_size)
+            while pos < len(order) or pending:
+                take = self.batch_size - len(pending)
+                rows = pending + order[pos:pos + take]
+                aligned = not pending
+                start = pos
+                pos += take
+                if (self.drop_last and pos >= len(order)
+                        and len(rows) < self.batch_size):
+                    return  # skip the final partial batch
+                fut = futures.pop(start, None) if aligned else None
+                if fut is not None:
+                    batch, used = fut.result()
+                else:
+                    batch, used = self._pack_window(rows)
+                pending = rows[used:]
+                if pending and futures:
+                    # overflow: every speculated window is now misaligned
+                    futures.clear()
+                if ex is not None and not pending:
+                    for k in range(lookahead):
+                        spawn(pos + k * self.batch_size)
+                yield batch
+        finally:
+            if ex is not None:
+                ex.shutdown(wait=False, cancel_futures=True)
+
+    def prefetch(self, depth: int = 2,
+                 workers: int | None = None) -> Iterator[PackedGraphBatch]:
+        """Background-thread producer (overlaps packing with device steps);
+        ``workers`` overrides the loader's parallel-packing width."""
+        if workers is not None and workers != self.workers:
+            self.workers = workers
         q: queue.Queue = queue.Queue(maxsize=depth)
         _SENTINEL = object()
         err: list[BaseException] = []

@@ -193,6 +193,10 @@ class RxnGraphTrainer:
     # and continues bit-identically — the reference cannot resume at all
     # (SURVEY.md §5 checkpoint row).
     ckpt_every_steps: int = 0
+    # host input pipeline: parallel packing width + cross-epoch pack reuse
+    # (data/loader.py PackedLoader fields of the same names)
+    loader_workers: int = 1
+    reuse_packs: bool = False
 
     def __post_init__(self):
         q = max(1, self.cfg.pallas_sub_packs)
@@ -222,10 +226,14 @@ class RxnGraphTrainer:
             self.train_loader = PackedLoader(self.train_data, self.spec,
                                              batch_size=per_dev_bs,
                                              shuffle=True, seed=self.seed,
-                                             round_packs_to=q)
+                                             round_packs_to=q,
+                                             workers=self.loader_workers,
+                                             reuse_packs=self.reuse_packs)
             self.val_loader = PackedLoader(self.val_data, self.spec,
                                            batch_size=per_dev_bs,
-                                           shuffle=False, round_packs_to=q)
+                                           shuffle=False, round_packs_to=q,
+                                           workers=self.loader_workers,
+                                           reuse_packs=self.reuse_packs)
         steps_per_epoch = len(self.train_loader)
         self.optimizer = make_optimizer(self.lr, self.weight_decay,
                                         self.gamma, steps_per_epoch)

@@ -195,6 +195,59 @@ class TestLoader:
         assert len(a) == len(b)
         np.testing.assert_array_equal(a[0].node_x, b[0].node_x)
 
+    def test_parallel_packing_bit_identical(self, csv_path):
+        """workers>1 speculative packing must yield the EXACT batches of
+        serial iteration, every field, shuffled or not."""
+        ds = ChemDataset(csv_path)
+        spec = plan_spec([ds.graph(i) for i in range(len(ds))],
+                         te=64, tn=32, tb=2)
+        for shuffle in (False, True):
+            a = list(PackedLoader(ds, spec, batch_size=2, shuffle=shuffle,
+                                  seed=3))
+            b = list(PackedLoader(ds, spec, batch_size=2, shuffle=shuffle,
+                                  seed=3, workers=3).prefetch())
+            assert len(a) == len(b)
+            for ba, bb in zip(a, b):
+                for fa, fb in zip(ba, bb):
+                    np.testing.assert_array_equal(np.asarray(fa),
+                                                  np.asarray(fb))
+
+    def test_reuse_packs_identical_content_shuffled_order(self, csv_path):
+        """reuse_packs: epoch 2+ yields the SAME batch objects as the
+        (fixed, epoch-0-composed) cache, in an epoch-seeded order; and the
+        cache composition is independent of which epoch builds it (resume
+        determinism)."""
+        ds = ChemDataset(csv_path)
+        spec = plan_spec([ds.graph(i) for i in range(len(ds))],
+                         te=64, tn=32, tb=2)
+        ld = PackedLoader(ds, spec, batch_size=2, shuffle=True, seed=5,
+                          reuse_packs=True)
+        ld.set_epoch(0)
+        e0 = list(ld)
+        ld.set_epoch(1)
+        e1 = list(ld)
+        assert len(e0) == len(e1)
+        key = lambda b: tuple(np.asarray(b.row_ids).tolist())
+        assert sorted(map(key, e0)) == sorted(map(key, e1)), \
+            "reuse must preserve batch composition"
+        # some epoch must reorder the (here only 2) batches
+        orders = set()
+        for ep in range(6):
+            ld.set_epoch(ep)
+            orders.add(tuple(key(b) for b in ld))
+        assert len(orders) > 1, "no epoch ever reordered the batches"
+        # a fresh loader that starts at epoch 7 builds the same cache
+        ld2 = PackedLoader(ds, spec, batch_size=2, shuffle=True, seed=5,
+                           reuse_packs=True)
+        ld2.set_epoch(7)
+        e7 = list(ld2)
+        ld.set_epoch(7)
+        e7_orig = list(ld)
+        for ba, bb in zip(e7_orig, e7):
+            for fa, fb in zip(ba, bb):
+                np.testing.assert_array_equal(np.asarray(fa),
+                                              np.asarray(fb))
+
 
 class TestFeatDtype:
     def test_float16_packing_runs_model(self):
