@@ -107,11 +107,20 @@ class _BaseEPLoader:
     shuffle: bool = True
     seed: int = 0
     prescan_batches: int = 8      # epoch-0 batches sampled to set pins
+    # shard/pack each epoch ONCE and reuse across epochs with batch-order
+    # shuffling (PackedLoader.reuse_packs contract): the host-side packing
+    # cost - the production bottleneck once chips consume ~16 Medge/s each,
+    # and here multiplied by n_dp x n_ep shards - vanishes from epoch 2 on.
+    # The cache is composed from the fixed epoch-0 graph order (resume
+    # determinism) and rebuilt if pins grew during the build, so every
+    # cached group shares the final pinned spec (one jit compilation).
+    reuse_packs: bool = False
 
     def __post_init__(self):
         if len(self.dataset) == 0:
             raise ValueError("empty dataset")
         self._epoch = 0
+        self._cache: list | None = None
         self._dummy = self._make_dummy()
         if not self._has_pins():
             for w in self._prescan_windows():
@@ -187,6 +196,38 @@ class _BaseEPLoader:
         return [self._window(order[i * bs:(i + 1) * bs]) for i in range(n)]
 
     def __iter__(self):
+        if self.reuse_packs:
+            if self._cache is None:
+                saved = self._epoch
+                self._epoch = 0
+                try:
+                    for _attempt in range(4):
+                        before = self._pin_state()
+                        items = list(self._iter_build())
+                        if self._pin_state() == before:
+                            break
+                        # pins grew mid-build: entries mix specs - rebuild
+                        # at the (monotone) final pins
+                    else:
+                        raise RuntimeError(
+                            "EP pins failed to stabilize over 4 builds")
+                finally:
+                    self._epoch = saved
+                self._cache = items
+            order = np.arange(len(self._cache))
+            if self.shuffle:
+                rng = np.random.default_rng(self.seed + self._epoch)
+                rng.shuffle(order)
+            for i in order:
+                yield self._cache[i]
+            return
+        yield from self._iter_build()
+
+    def _pin_state(self):
+        """Hashable snapshot of the learned pins (growth detection)."""
+        raise NotImplementedError
+
+    def _iter_build(self):
         order = list(self._order())
         bs = self.batch_size
         windows = [self._window(order[i:i + bs])
@@ -255,6 +296,10 @@ class EPLoader(_BaseEPLoader):
     def _has_pins(self) -> bool:
         return self.pins is not None
 
+    def _pin_state(self):
+        return None if self.pins is None else tuple(sorted(
+            self.pins.items()))
+
     def _shard_pinned(self, window) -> EdgeShardedBatch:
         graphs, labels, extra, n_real = window
         b = shard_edges(graphs, labels, self.n_ep,
@@ -292,6 +337,9 @@ class EPPackLoader(_BaseEPLoader):
 
     def _has_pins(self) -> bool:
         return self.spec is not None
+
+    def _pin_state(self):
+        return self.spec
 
     def _shard_pinned(self, window) -> EPPackedBatch:
         graphs, labels, extra, n_real = window

@@ -354,6 +354,54 @@ def test_loader_pin_growth_and_spec_travel():
     assert items[-1][0].te > 64
 
 
+def test_loader_reuse_packs_stable_spec_and_resume_determinism():
+    """reuse_packs on the EP loader: the cache is rebuilt until pins
+    stabilize so every cached entry shares ONE final spec (a single jit
+    compilation); epochs reuse the same groups in epoch-seeded order; and
+    a fresh loader starting at a later epoch replays identical batches
+    (resume determinism)."""
+    class FakeDataset:
+        def __init__(self):
+            rng = np.random.default_rng(11)
+            self.graphs = synthetic_graphs(15, rng, node_feat_dim=NF) + \
+                [chain_graph(200, rng)]
+            self.labels = np.zeros(len(self.graphs), np.float32)
+            self.use_npz = False
+            self.num_edge_features = FE
+            self.num_node_features = NF
+
+        def __len__(self):
+            return len(self.graphs)
+
+        def graph(self, i):
+            return self.graphs[i]
+
+    mk = lambda: EPPackLoader(FakeDataset(), n_ep=4, batch_size=4, n_dp=1,
+                              shuffle=True, seed=9, prescan_batches=1,
+                              te=64, tn=32, reuse_packs=True)
+    ld = mk()
+    ld.set_epoch(0)
+    e0 = list(ld)
+    # growth during the build epoch must have forced a stable-spec rebuild
+    specs = {id(spec) for spec, _ in e0}
+    assert len({(spec.te, spec.tn, spec.p) for spec, _ in e0}) == 1, \
+        "cached entries must share the final pinned spec"
+    assert e0[0][0].te > 64   # the giant chain grew the tile
+    ld.set_epoch(3)
+    e3 = list(ld)
+    assert len(e0) == len(e3)
+    key = lambda b: float(np.asarray(b.node_x).sum())
+    assert sorted(map(key, (b for _, b in e0))) == pytest.approx(
+        sorted(map(key, (b for _, b in e3)))), "composition must persist"
+    # a fresh process resuming at epoch 3 rebuilds identical batches
+    ld2 = mk()
+    ld2.set_epoch(3)
+    for (sa, ba), (sb, bb) in zip(e3, ld2):
+        assert (sa.te, sa.tn, sa.p) == (sb.te, sb.tn, sb.p)
+        for fa, fb in zip(ba, bb):
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
 def test_train_step_learns_and_reports_gnorm(small_case):
     graphs, labels, cfg, params, _ = small_case
     import optax
