@@ -107,6 +107,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     help="pack each epoch once and reuse across epochs "
                          "(batch-order shuffle; kills host packing cost "
                          "from epoch 2 on)")
+    ap.add_argument("--device_epoch", action="store_true",
+                    help="stage the reused pack cache on the chip and run "
+                         "each epoch as ONE jitted lax.scan (zero per-step "
+                         "host dispatch; requires --reuse_packs)")
     ap.add_argument("--steps_per_call", default=1, type=int,
                     help="train steps per device dispatch (lax.scan); >1 "
                          "amortizes host round-trip latency BUT coarsens "
@@ -206,6 +210,7 @@ def train(args) -> dict:
         model_save_dir=args.save_path, seed=args.seed, logger=logger,
         resume_from=args.resume, steps_per_call=args.steps_per_call,
         loader_workers=args.loader_workers, reuse_packs=args.reuse_packs,
+        device_epoch=args.device_epoch,
         n_dp=args.dp, n_ep=args.ep, ep_te=args.ep_te,
         ep_tn=args.ep_tn, ckpt_every_steps=args.ckpt_every_steps)
     return trainer.train()

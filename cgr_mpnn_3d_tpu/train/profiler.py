@@ -47,6 +47,17 @@ class StepTimer:
     def reset_epoch(self) -> None:
         self._last = None
 
+    def tick_many(self, n: int, elapsed: float) -> None:
+        """Record n equal step intervals covering ``elapsed`` seconds (the
+        device-epoch path runs a whole epoch in one dispatch, so per-step
+        host timestamps do not exist).  Replaces any prior intervals: the
+        stats describe THIS epoch alone (epoch 0 includes the compile)."""
+        if n <= 0:
+            return
+        self._times = [elapsed / n] * n
+        self._count = n
+        self._last = None
+
     def stats(self) -> dict:
         if not self._times:
             return {}

@@ -197,6 +197,16 @@ class RxnGraphTrainer:
     # (data/loader.py PackedLoader fields of the same names)
     loader_workers: int = 1
     reuse_packs: bool = False
+    # device-resident epochs: stack the reused pack cache ONCE into device
+    # arrays [S, ...] and run each training epoch as a SINGLE jitted
+    # lax.scan over an epoch-shuffled permutation — one dispatch per epoch,
+    # zero per-step host->device transfers.  The remedy for dispatch-
+    # latency-bound training (measured: a tunneled chip spends ~30-50 ms
+    # of host/dispatch overhead per step vs ~1 ms of compute at bs=64).
+    # Requires reuse_packs and the single-device path; the NaN guard
+    # coarsens to epoch granularity (roll back the whole epoch) and
+    # --ckpt_every_steps is unavailable (there are no host steps).
+    device_epoch: bool = False
 
     def __post_init__(self):
         q = max(1, self.cfg.pallas_sub_packs)
@@ -210,6 +220,19 @@ class RxnGraphTrainer:
                                  f"{len(jax.devices())}")
             if self.steps_per_call > 1:
                 raise ValueError("steps_per_call > 1 is single-device only")
+        if self.device_epoch:
+            if not self.reuse_packs:
+                raise ValueError("--device_epoch requires --reuse_packs "
+                                 "(the epoch cache is what gets staged on "
+                                 "device)")
+            if ndev > 1:
+                raise ValueError("--device_epoch is single-device for now "
+                                 "(the dp/ep paths would need sharded "
+                                 "epoch tensors)")
+            if self.ckpt_every_steps:
+                raise ValueError("--device_epoch has no host-visible steps; "
+                                 "--ckpt_every_steps cannot fire inside a "
+                                 "scanned epoch")
         per_dev_bs = -(-self.batch_size // self.n_dp)
         if self.n_ep > 1:
             from ..parallel import EPPackLoader
@@ -337,9 +360,25 @@ class RxnGraphTrainer:
             state, (losses, gnorms) = jax.lax.scan(body, state, stacked)
             return state, losses, gnorms[-1]
 
+        @jax.jit
+        def _epoch_scan(state: TrainState, stacked: PackedGraphBatch,
+                        perm: jax.Array):
+            """One whole epoch: scan over an index permutation into the
+            device-resident stacked epoch (leaves [S, ...])."""
+            def body(st, idx):
+                b = jax.tree_util.tree_map(
+                    lambda v: jax.lax.dynamic_index_in_dim(
+                        v, idx, 0, keepdims=False), stacked)
+                s2, loss, gnorm = _train_step(st, b)
+                return s2, (loss, gnorm)
+            state, (losses, gnorms) = jax.lax.scan(body, state, perm)
+            return state, losses, gnorms[-1]
+
         self._train_step = _train_step
         self._train_chunk = _train_chunk
+        self._epoch_scan = _epoch_scan
         self._eval_step = _eval_step
+        self._epoch_dev = None        # device-staged stacked epoch cache
 
     # -- checkpointing ----------------------------------------------------
     def _ckpt_meta(self) -> dict:
@@ -398,7 +437,58 @@ class RxnGraphTrainer:
             group += [filler] * (self.n_dp - len(group))
             yield stack_batches(group)
 
+    def _stage_epoch_on_device(self):
+        """Stack the loader's (reuse_packs) epoch cache into device arrays
+        [S, ...] — built once, reused by every scanned epoch."""
+        if self._epoch_dev is None:
+            self.train_loader.set_epoch(0)
+            batches = list(self.train_loader)   # builds/reuses the cache
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs], 0),
+                *batches)
+            self._epoch_dev = (jax.device_put(stacked), len(batches))
+        return self._epoch_dev
+
+    def _train_epoch_device(self, epoch_idx: int) -> float:
+        """device_epoch path: ONE dispatch for the whole epoch."""
+        import time as _time
+        stacked, S = self._stage_epoch_on_device()
+        # identical batch order to the loader's reuse-epoch shuffle
+        order = np.arange(S)
+        if self.train_loader.shuffle:
+            rng = np.random.default_rng(self.train_loader.seed + epoch_idx)
+            rng.shuffle(order)
+        t0 = _time.perf_counter()
+        new_state, losses, gnorm = self._epoch_scan(
+            self.state, stacked, jnp.asarray(order, jnp.int32))
+        losses = np.asarray(losses)
+        elapsed = _time.perf_counter() - t0
+        if not np.isfinite(losses).all():
+            # epoch-granular NaN guard: the whole epoch rolls back
+            msg = {"event": "non_finite_loss", "epoch": epoch_idx,
+                   "scope": "device_epoch (epoch rolled back)"}
+            (self.logger.log(msg) if self.logger else print(msg))
+            raise FloatingPointError(
+                f"non-finite loss inside scanned epoch {epoch_idx}; "
+                f"state rolled back to epoch start (checkpoint intact)")
+        self.state = new_state
+        self._timer.reset_epoch()
+        self._timer.tick_many(S, elapsed)
+        total = float(losses.sum())
+        rmse = float(np.sqrt(total / len(self.train_data)))
+        if self.logger:
+            rec = {"train_loss": rmse, "epoch": epoch_idx,
+                   **self._timer.stats()}
+            if self.log_param_norms:
+                rec["param_norm"] = float(
+                    optax.global_norm(self.state.params))
+                rec["grad_norm"] = float(gnorm)
+            self.logger.log(rec)
+        return rmse
+
     def _train_epoch(self, epoch_idx: int) -> float:
+        if self.device_epoch:
+            return self._train_epoch_device(epoch_idx)
         state = self.state
         total = 0.0
         self.train_loader.set_epoch(epoch_idx)

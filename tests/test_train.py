@@ -235,6 +235,32 @@ class TestStepsPerCall:
                                        rtol=1e-5, atol=1e-7)
 
 
+class TestDeviceEpoch:
+    def test_device_epoch_matches_reuse_path(self, demo_ds, spec, tmp_path):
+        """--device_epoch (one lax.scan per epoch over the device-staged
+        pack cache) must reproduce the exact training result of the
+        host-looped reuse_packs path: same batch order, same rng stream,
+        same losses and parameters."""
+        tr1 = _mk_trainer(demo_ds, spec, tmp_path, num_epochs=3,
+                          model_save_dir=str(tmp_path / "a"),
+                          reuse_packs=True)
+        out1 = tr1.train()
+        tr2 = _mk_trainer(demo_ds, spec, tmp_path, num_epochs=3,
+                          model_save_dir=str(tmp_path / "b"),
+                          reuse_packs=True, device_epoch=True)
+        out2 = tr2.train()
+        np.testing.assert_allclose(out1["train_losses"],
+                                   out2["train_losses"], rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(tr1.state.params),
+                        jax.tree_util.tree_leaves(tr2.state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+
+    def test_device_epoch_requires_reuse(self, demo_ds, spec, tmp_path):
+        with pytest.raises(ValueError, match="reuse_packs"):
+            _mk_trainer(demo_ds, spec, tmp_path, device_epoch=True)
+
+
 class TestDataParallelTrainer:
     def test_trainer_dp2_loss_matches_single_device(self, demo_ds, spec,
                                                     tmp_path):
