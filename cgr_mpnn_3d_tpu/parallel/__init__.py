@@ -1,6 +1,7 @@
 """Parallelism: device meshes, data parallelism, edge partitioning."""
 
-from .data_parallel import (make_dp_eval_step, make_dp_train_step,
+from .data_parallel import (make_dp_epoch_scan, make_dp_eval_step,
+                            make_dp_train_step,
                             shard_stacked_batch, stack_batches)
 from .edge_partition import (EdgeShardedBatch, EPOverflow, ep_forward,
                              make_ep_eval_step, make_ep_train_step,
@@ -11,7 +12,8 @@ from .ep_pack import (EPPackedBatch, EPPackSpec, empty_ep_pack_batch,
                       make_ep_pack_train_step, pack_shard_edges)
 from .mesh import P, make_mesh
 
-__all__ = ["make_dp_eval_step", "make_dp_train_step", "shard_stacked_batch",
+__all__ = ["make_dp_epoch_scan", "make_dp_eval_step",
+           "make_dp_train_step", "shard_stacked_batch",
            "stack_batches", "EdgeShardedBatch", "EPOverflow", "ep_forward",
            "make_ep_train_step", "make_ep_eval_step", "shard_edges",
            "EPLoader", "EPPackLoader", "empty_ep_batch_like",

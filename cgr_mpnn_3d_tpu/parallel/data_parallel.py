@@ -96,6 +96,66 @@ def make_dp_train_step(optimizer: optax.GradientTransformation,
     return jax.jit(smapped)
 
 
+def make_dp_epoch_scan(optimizer: optax.GradientTransformation,
+                       cfg: CGRMPNNConfig, mesh: Mesh,
+                       spec: PackSpec | None = None):
+    """Device-resident-epoch variant of :func:`make_dp_train_step`: returns
+    jitted ``run(state, stacked_epoch, perm) -> (state, losses[S], gnorm)``
+    where ``stacked_epoch`` leaves are [S, n_dp*n_ep, ...] sharded
+    P(None, ('dp','ep')) — the whole epoch lives on the mesh and one
+    dispatch scans over the ``perm`` group order (trainer --device_epoch).
+
+    The per-step math (rng folding, psum placement, optimizer update) is
+    the exact body of make_dp_train_step's per_device, so a scanned epoch
+    reproduces the host-looped path step for step."""
+    axes = ("dp", "ep")
+    use_fused = spec is not None and supports_fused_train(cfg)
+
+    def per_device(state: TrainState, epoch_leaves, perm):
+        def body(st: TrainState, idx):
+            batch = jax.tree_util.tree_map(
+                lambda v: jax.lax.dynamic_index_in_dim(
+                    v, idx, 0, keepdims=False), epoch_leaves)
+            batch = jax.tree_util.tree_map(lambda x: x[0], batch)
+            rng = jax.random.fold_in(st.rng, jax.lax.axis_index("dp") *
+                                     jax.lax.axis_size("ep") +
+                                     jax.lax.axis_index("ep"))
+            _, sub = jax.random.split(rng)
+
+            def loss_fn(params):
+                preds = apply(params, batch, cfg, spec, train=True, rng=sub)
+                err = (preds - batch.labels) * batch.graph_mask
+                return jnp.sum(err * err)
+
+            if use_fused:
+                loss, grads = fused_train_value_and_grad(
+                    st.params, batch, cfg, spec, sub)
+            else:
+                loss, grads = jax.value_and_grad(loss_fn)(st.params)
+            loss = jax.lax.psum(loss, axes)
+            grads = jax.lax.psum(grads, axes)
+            gnorm = optax.global_norm(grads)
+            updates, opt_state = optimizer.update(grads, st.opt_state,
+                                                  st.params)
+            params = optax.apply_updates(st.params, updates)
+            new_rng, _ = jax.random.split(st.rng)
+            return (TrainState(params, opt_state, st.step + 1, new_rng),
+                    (loss, gnorm))
+
+        state, (losses, gnorms) = jax.lax.scan(body, state, perm)
+        return state, losses, gnorms[-1]
+
+    epoch_spec = jax.tree_util.tree_map(
+        lambda _: P(None, ("dp", "ep")), PackedGraphBatch(*[0] * 14))
+    smapped = jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), epoch_spec, P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(smapped)
+
+
 def make_dp_eval_step(cfg: CGRMPNNConfig, mesh: Mesh,
                       spec: PackSpec | None = None):
     def per_device(params, batch: PackedGraphBatch):

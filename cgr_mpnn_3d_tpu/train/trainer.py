@@ -225,10 +225,10 @@ class RxnGraphTrainer:
                 raise ValueError("--device_epoch requires --reuse_packs "
                                  "(the epoch cache is what gets staged on "
                                  "device)")
-            if ndev > 1:
-                raise ValueError("--device_epoch is single-device for now "
-                                 "(the dp/ep paths would need sharded "
-                                 "epoch tensors)")
+            if self.n_ep > 1:
+                raise ValueError("--device_epoch supports the single-device "
+                                 "and dp paths; the ep path would need "
+                                 "sharded (spec, batch) epoch tensors")
             if self.ckpt_every_steps:
                 raise ValueError("--device_epoch has no host-visible steps; "
                                  "--ckpt_every_steps cannot fire inside a "
@@ -325,6 +325,11 @@ class RxnGraphTrainer:
             self._eval_step = lambda params, stacked: (dp_eval(params,
                                                                stacked),
                                                        None)
+            if self.device_epoch:
+                from ..parallel import make_dp_epoch_scan
+                self._epoch_scan = make_dp_epoch_scan(optimizer, cfg, mesh,
+                                                      spec=step_spec)
+                self._epoch_dev = None
             return
 
         use_fused_train = supports_fused_train(cfg)
@@ -439,14 +444,26 @@ class RxnGraphTrainer:
 
     def _stage_epoch_on_device(self):
         """Stack the loader's (reuse_packs) epoch cache into device arrays
-        [S, ...] — built once, reused by every scanned epoch."""
+        [S, ...] (dp: [S, n_dp, ...] sharded over the mesh) — built once,
+        reused by every scanned epoch."""
         if self._epoch_dev is None:
             self.train_loader.set_epoch(0)
             batches = list(self.train_loader)   # builds/reuses the cache
-            stacked = jax.tree_util.tree_map(
-                lambda *xs: np.stack([np.asarray(x) for x in xs], 0),
-                *batches)
-            self._epoch_dev = (jax.device_put(stacked), len(batches))
+            if self.n_dp > 1:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+                groups = list(self._dp_group(iter(batches),
+                                             self.train_loader.spec))
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: np.stack([np.asarray(x) for x in xs], 0),
+                    *groups)
+                sh = NamedSharding(self._mesh, P(None, ("dp", "ep")))
+                self._epoch_dev = (jax.device_put(stacked, sh), len(groups))
+            else:
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: np.stack([np.asarray(x) for x in xs], 0),
+                    *batches)
+                self._epoch_dev = (jax.device_put(stacked), len(batches))
         return self._epoch_dev
 
     def _train_epoch_device(self, epoch_idx: int) -> float:

@@ -260,6 +260,42 @@ class TestDeviceEpoch:
         with pytest.raises(ValueError, match="reuse_packs"):
             _mk_trainer(demo_ds, spec, tmp_path, device_epoch=True)
 
+    def test_dp2_device_epoch_first_epoch_exact(self, demo_ds, spec,
+                                                tmp_path):
+        """dp=2 device-epoch: epoch 0 groups are identical to the
+        host-looped dp path (both derive from the epoch-0 cache order), so
+        a 1-epoch run must match exactly."""
+        kw = dict(num_epochs=1, batch_size=10, n_dp=2, reuse_packs=True)
+        tr1 = _mk_trainer(demo_ds, spec, tmp_path,
+                          model_save_dir=str(tmp_path / "a"), **kw)
+        out1 = tr1.train()
+        tr2 = _mk_trainer(demo_ds, spec, tmp_path,
+                          model_save_dir=str(tmp_path / "b"),
+                          device_epoch=True, **kw)
+        out2 = tr2.train()
+        np.testing.assert_allclose(out1["train_losses"],
+                                   out2["train_losses"], rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(tr1.state.params),
+                        jax.tree_util.tree_leaves(tr2.state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+
+    def test_dp2_device_epoch_learns(self, demo_ds, spec, tmp_path):
+        """Multi-epoch dp device-epoch (group-order shuffle differs from
+        the host path's per-epoch regroup — coarser granularity, same
+        graphs per epoch): the loss must still track the host-looped dp
+        run closely."""
+        kw = dict(num_epochs=4, batch_size=10, n_dp=2, reuse_packs=True)
+        out1 = _mk_trainer(demo_ds, spec, tmp_path,
+                           model_save_dir=str(tmp_path / "c"),
+                           **kw).train()
+        out2 = _mk_trainer(demo_ds, spec, tmp_path,
+                           model_save_dir=str(tmp_path / "d"),
+                           device_epoch=True, **kw).train()
+        assert out2["train_losses"][-1] < out2["train_losses"][0] * 0.95
+        np.testing.assert_allclose(out2["train_losses"],
+                                   out1["train_losses"], rtol=0.05)
+
 
 class TestDataParallelTrainer:
     def test_trainer_dp2_loss_matches_single_device(self, demo_ds, spec,
