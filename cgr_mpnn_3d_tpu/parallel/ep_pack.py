@@ -1152,6 +1152,61 @@ def make_ep_pack_train_step(optimizer: optax.GradientTransformation,
     return jax.jit(smapped)
 
 
+def make_ep_pack_epoch_scan(optimizer: optax.GradientTransformation,
+                            cfg: CGRMPNNConfig, mesh: Mesh,
+                            spec: EPPackSpec):
+    """Device-resident-epoch variant of :func:`make_ep_pack_train_step`:
+    jitted ``run(state, stacked_epoch, perm) -> (state, losses[S], gnorm)``
+    where ``stacked_epoch`` leaves are [S, n_dp, n_ep, ...] sharded
+    P(None, 'dp', 'ep').  Valid because the EP loader's reuse_packs cache
+    is rebuilt until its pins stabilize, so every step in the epoch shares
+    ONE EPPackSpec — the scan body is the exact per-device step of
+    make_ep_pack_train_step (same rng folding, psums, optimizer update)."""
+    n_ep = mesh.shape["ep"]
+    one_kernel = supports_ep_fused_train(cfg, spec)
+
+    def per_device(state: TrainState, epoch_leaves, perm):
+        def body(st: TrainState, idx):
+            batch = jax.tree_util.tree_map(
+                lambda v: jax.lax.dynamic_index_in_dim(
+                    v, idx, 0, keepdims=False), epoch_leaves)
+            local = jax.tree_util.tree_map(lambda v: v[0, 0], batch)
+            rng, sub = jax.random.split(st.rng)
+            sub = jax.random.fold_in(sub, jax.lax.axis_index("dp"))
+
+            if one_kernel:
+                sse, grads = ep_pack_fused_train(st.params, local, cfg,
+                                                 spec, sub, axis="ep")
+                loss = jax.lax.psum(sse, ("dp", "ep"))
+            else:
+                def loss_fn(params):
+                    sse, _ = ep_pack_forward(params, local, cfg, spec,
+                                             axis="ep", train=True,
+                                             rng=sub)
+                    return sse
+
+                loss, grads = jax.value_and_grad(loss_fn)(st.params)
+                loss = jax.lax.psum(loss / n_ep, ("dp", "ep"))
+            grads = jax.lax.psum(grads, ("dp", "ep"))
+            gnorm = optax.global_norm(grads)
+            updates, opt_state = optimizer.update(grads, st.opt_state,
+                                                  st.params)
+            params = optax.apply_updates(st.params, updates)
+            return (TrainState(params, opt_state, st.step + 1, rng),
+                    (loss, gnorm))
+
+        state, (losses, gnorms) = jax.lax.scan(body, state, perm)
+        return state, losses, gnorms[-1]
+
+    epoch_spec = jax.tree_util.tree_map(
+        lambda _: P(None, "dp", "ep"),
+        EPPackedBatch(*[0] * len(EPPackedBatch._fields)))
+    smapped = jax.shard_map(per_device, mesh=mesh,
+                            in_specs=(P(), epoch_spec, P()),
+                            out_specs=(P(), P(), P()), check_vma=False)
+    return jax.jit(smapped)
+
+
 def make_ep_pack_eval_step(cfg: CGRMPNNConfig, mesh: Mesh, spec: EPPackSpec):
     """Jitted ``eval(params, stacked) -> (sum_sse, preds[n_dp*B])``."""
     n_ep = mesh.shape["ep"]

@@ -225,10 +225,7 @@ class RxnGraphTrainer:
                 raise ValueError("--device_epoch requires --reuse_packs "
                                  "(the epoch cache is what gets staged on "
                                  "device)")
-            if self.n_ep > 1:
-                raise ValueError("--device_epoch supports the single-device "
-                                 "and dp paths; the ep path would need "
-                                 "sharded (spec, batch) epoch tensors")
+
             if self.ckpt_every_steps:
                 raise ValueError("--device_epoch has no host-visible steps; "
                                  "--ckpt_every_steps cannot fire inside a "
@@ -306,6 +303,13 @@ class RxnGraphTrainer:
             self._train_step = ep_step
             self._train_chunk = None
             self._eval_step = ep_eval
+            if self.device_epoch:
+                # the epoch scan is keyed on the loader's final spec, which
+                # is only known after the reuse cache stabilizes -> built
+                # lazily in _stage_epoch_on_device
+                self._ep_de_ctx = (optimizer, cfg, mesh)
+                self._epoch_scan = None
+                self._epoch_dev = None
             return
 
         # the loader fixes the pack count; the model needs it for Pallas
@@ -449,7 +453,39 @@ class RxnGraphTrainer:
         if self._epoch_dev is None:
             self.train_loader.set_epoch(0)
             batches = list(self.train_loader)   # builds/reuses the cache
-            if self.n_dp > 1:
+            if self.n_dp == 1 and self.n_ep == 1:
+                # single-device: stage in RAW cache order — the scan
+                # applies each epoch's permutation itself, so staging a
+                # shuffled iteration would compose two permutations and
+                # diverge from the host-looped path.  (dp/ep stage the
+                # epoch-0 iteration instead: their groups must match the
+                # host path's epoch-0 grouping, and epoch 0 then runs an
+                # identity permutation — see _train_epoch_device.)
+                sav_shuffle = self.train_loader.shuffle
+                self.train_loader.shuffle = False
+                try:
+                    batches = list(self.train_loader)
+                finally:
+                    self.train_loader.shuffle = sav_shuffle
+            if self.n_ep > 1:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+
+                from ..parallel.ep_pack import make_ep_pack_epoch_scan
+                specs = {id(sp) for sp, _ in batches}
+                spec0 = batches[0][0]
+                assert all(sp == spec0 for sp, _ in batches), \
+                    "reuse_packs cache must have stabilized to one spec"
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: np.stack([np.asarray(x) for x in xs], 0),
+                    *[b for _, b in batches])
+                sh = NamedSharding(self._mesh, P(None, "dp", "ep"))
+                opt, cfg_, mesh_ = self._ep_de_ctx
+                self._epoch_scan = make_ep_pack_epoch_scan(opt, cfg_,
+                                                           mesh_, spec0)
+                self._epoch_dev = (jax.device_put(stacked, sh),
+                                   len(batches))
+            elif self.n_dp > 1:
                 from jax.sharding import NamedSharding
                 from jax.sharding import PartitionSpec as P
                 groups = list(self._dp_group(iter(batches),
@@ -470,9 +506,13 @@ class RxnGraphTrainer:
         """device_epoch path: ONE dispatch for the whole epoch."""
         import time as _time
         stacked, S = self._stage_epoch_on_device()
-        # identical batch order to the loader's reuse-epoch shuffle
+        # identical batch order to the loader's reuse-epoch shuffle; on the
+        # dp/ep meshes the STAGED order already is the epoch-0 iteration
+        # (groups must match the host path's epoch-0 grouping), so epoch 0
+        # runs the identity and later epochs shuffle group order
         order = np.arange(S)
-        if self.train_loader.shuffle:
+        mesh_mode = self.n_dp > 1 or self.n_ep > 1
+        if self.train_loader.shuffle and not (mesh_mode and epoch_idx == 0):
             rng = np.random.default_rng(self.train_loader.seed + epoch_idx)
             rng.shuffle(order)
         t0 = _time.perf_counter()

@@ -241,12 +241,16 @@ class TestDeviceEpoch:
         pack cache) must reproduce the exact training result of the
         host-looped reuse_packs path: same batch order, same rng stream,
         same losses and parameters."""
+        # batch_size=2 -> ~5 batches/epoch, so the epoch shuffles are
+        # NON-identity permutations (a staging-order bug composing two
+        # permutations is visible; bs=8 gave 2 batches whose epoch-0
+        # shuffle happened to be the identity)
         tr1 = _mk_trainer(demo_ds, spec, tmp_path, num_epochs=3,
-                          model_save_dir=str(tmp_path / "a"),
+                          batch_size=2, model_save_dir=str(tmp_path / "a"),
                           reuse_packs=True)
         out1 = tr1.train()
         tr2 = _mk_trainer(demo_ds, spec, tmp_path, num_epochs=3,
-                          model_save_dir=str(tmp_path / "b"),
+                          batch_size=2, model_save_dir=str(tmp_path / "b"),
                           reuse_packs=True, device_epoch=True)
         out2 = tr2.train()
         np.testing.assert_allclose(out1["train_losses"],
@@ -291,6 +295,40 @@ class TestDeviceEpoch:
                            **kw).train()
         out2 = _mk_trainer(demo_ds, spec, tmp_path,
                            model_save_dir=str(tmp_path / "d"),
+                           device_epoch=True, **kw).train()
+        assert out2["train_losses"][-1] < out2["train_losses"][0] * 0.95
+        np.testing.assert_allclose(out2["train_losses"],
+                                   out1["train_losses"], rtol=0.05)
+
+
+    def test_ep2_device_epoch_first_epoch_exact(self, demo_ds, spec,
+                                                tmp_path):
+        """ep=2 device-epoch: the whole epoch is staged as [S, 1, n_ep,
+        ...] sharded over the mesh and scanned by
+        make_ep_pack_epoch_scan; epoch 0 must match the host-looped EP
+        path exactly (identical stacked batches, identity permutation)."""
+        kw = dict(num_epochs=1, batch_size=6, n_ep=2, reuse_packs=True)
+        tr1 = _mk_trainer(demo_ds, spec, tmp_path,
+                          model_save_dir=str(tmp_path / "ea"), **kw)
+        out1 = tr1.train()
+        tr2 = _mk_trainer(demo_ds, spec, tmp_path,
+                          model_save_dir=str(tmp_path / "eb"),
+                          device_epoch=True, **kw)
+        out2 = tr2.train()
+        np.testing.assert_allclose(out1["train_losses"],
+                                   out2["train_losses"], rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(tr1.state.params),
+                        jax.tree_util.tree_leaves(tr2.state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+
+    def test_ep2_device_epoch_learns(self, demo_ds, spec, tmp_path):
+        kw = dict(num_epochs=4, batch_size=6, n_ep=2, reuse_packs=True)
+        out1 = _mk_trainer(demo_ds, spec, tmp_path,
+                           model_save_dir=str(tmp_path / "ec"),
+                           **kw).train()
+        out2 = _mk_trainer(demo_ds, spec, tmp_path,
+                           model_save_dir=str(tmp_path / "ed"),
                            device_epoch=True, **kw).train()
         assert out2["train_losses"][-1] < out2["train_losses"][0] * 0.95
         np.testing.assert_allclose(out2["train_losses"],
