@@ -198,14 +198,18 @@ class RxnGraphTrainer:
     loader_workers: int = 1
     reuse_packs: bool = False
     # device-resident epochs: stack the reused pack cache ONCE into device
-    # arrays [S, ...] and run each training epoch as a SINGLE jitted
-    # lax.scan over an epoch-shuffled permutation — one dispatch per epoch,
-    # zero per-step host->device transfers.  The remedy for dispatch-
-    # latency-bound training (measured: a tunneled chip spends ~30-50 ms
-    # of host/dispatch overhead per step vs ~1 ms of compute at bs=64).
-    # Requires reuse_packs and the single-device path; the NaN guard
-    # coarsens to epoch granularity (roll back the whole epoch) and
-    # --ckpt_every_steps is unavailable (there are no host steps).
+    # arrays [S, ...] (dp/ep meshes: [S, n_dp(, n_ep), ...] sharded) and
+    # run each training epoch as a SINGLE jitted lax.scan over an
+    # epoch-shuffled permutation — one dispatch per epoch, zero per-step
+    # host->device transfers.  The remedy for dispatch-latency-bound
+    # training (measured: a tunneled chip spends ~30-50 ms of host/
+    # dispatch overhead per step vs ~1 ms of compute at bs=64).  Requires
+    # reuse_packs; works on the single-device, dp, and ep paths.  The NaN
+    # guard coarsens to epoch granularity: a non-finite loss aborts with
+    # the state rolled back to epoch start (a deterministic retry would
+    # reproduce the same NaN, so there is no in-epoch rollback), and
+    # --ckpt_every_steps / steps_per_call / mid-epoch resume are rejected
+    # (there are no host-visible steps inside a scanned epoch).
     device_epoch: bool = False
 
     def __post_init__(self):
@@ -230,6 +234,10 @@ class RxnGraphTrainer:
                 raise ValueError("--device_epoch has no host-visible steps; "
                                  "--ckpt_every_steps cannot fire inside a "
                                  "scanned epoch")
+            if self.steps_per_call > 1:
+                raise ValueError("--device_epoch scans the whole epoch in "
+                                 "one dispatch; --steps_per_call would be "
+                                 "silently ignored — drop one of the two")
         per_dev_bs = -(-self.batch_size // self.n_dp)
         if self.n_ep > 1:
             from ..parallel import EPPackLoader
@@ -271,6 +279,14 @@ class RxnGraphTrainer:
         self._timer = StepTimer()
         if self.resume_from:
             self._resume(self.resume_from)
+            if self.device_epoch and self._skip_steps:
+                raise ValueError(
+                    "--device_epoch cannot fast-forward into a MID-epoch "
+                    "checkpoint (the scanned epoch has no host-visible "
+                    "steps, and the checkpoint's batch order came from a "
+                    "host-looped run); resume this checkpoint without "
+                    "--device_epoch, or resume an epoch-boundary "
+                    "checkpoint")
 
         cfg = self.cfg
         optimizer = self.optimizer
@@ -452,7 +468,6 @@ class RxnGraphTrainer:
         reused by every scanned epoch."""
         if self._epoch_dev is None:
             self.train_loader.set_epoch(0)
-            batches = list(self.train_loader)   # builds/reuses the cache
             if self.n_dp == 1 and self.n_ep == 1:
                 # single-device: stage in RAW cache order — the scan
                 # applies each epoch's permutation itself, so staging a
@@ -461,18 +476,23 @@ class RxnGraphTrainer:
                 # epoch-0 iteration instead: their groups must match the
                 # host path's epoch-0 grouping, and epoch 0 then runs an
                 # identity permutation — see _train_epoch_device.)
+                # One next() builds the cache with the loader's own
+                # shuffle settings (composition must match the host path);
+                # the full read then happens in cache order.
+                next(iter(self.train_loader), None)
                 sav_shuffle = self.train_loader.shuffle
                 self.train_loader.shuffle = False
                 try:
                     batches = list(self.train_loader)
                 finally:
                     self.train_loader.shuffle = sav_shuffle
+            else:
+                batches = list(self.train_loader)  # builds/reuses cache
             if self.n_ep > 1:
                 from jax.sharding import NamedSharding
                 from jax.sharding import PartitionSpec as P
 
                 from ..parallel.ep_pack import make_ep_pack_epoch_scan
-                specs = {id(sp) for sp, _ in batches}
                 spec0 = batches[0][0]
                 assert all(sp == spec0 for sp, _ in batches), \
                     "reuse_packs cache must have stabilized to one spec"
@@ -521,7 +541,11 @@ class RxnGraphTrainer:
         losses = np.asarray(losses)
         elapsed = _time.perf_counter() - t0
         if not np.isfinite(losses).all():
-            # epoch-granular NaN guard: the whole epoch rolls back
+            # epoch-granular NaN guard: the new state is discarded (the
+            # whole epoch rolls back).  No retry: the scan is
+            # deterministic, so re-running would reproduce the same NaN —
+            # unlike the host path, whose per-step rollback continues on
+            # DIFFERENT subsequent batches.
             msg = {"event": "non_finite_loss", "epoch": epoch_idx,
                    "scope": "device_epoch (epoch rolled back)"}
             (self.logger.log(msg) if self.logger else print(msg))

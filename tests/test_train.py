@@ -264,6 +264,39 @@ class TestDeviceEpoch:
         with pytest.raises(ValueError, match="reuse_packs"):
             _mk_trainer(demo_ds, spec, tmp_path, device_epoch=True)
 
+    def test_device_epoch_rejects_steps_per_call(self, demo_ds, spec,
+                                                 tmp_path):
+        with pytest.raises(ValueError, match="steps_per_call"):
+            _mk_trainer(demo_ds, spec, tmp_path, reuse_packs=True,
+                        device_epoch=True, steps_per_call=4)
+
+    def test_device_epoch_rejects_mid_epoch_resume(self, demo_ds, spec,
+                                                   tmp_path):
+        """A mid-epoch checkpoint (host-looped batch order) cannot be
+        fast-forwarded into a scanned epoch — must fail loudly, not
+        silently re-train the already-applied steps."""
+        tr = _mk_trainer(demo_ds, spec, tmp_path, num_epochs=2,
+                         batch_size=4, ckpt_every_steps=1,
+                         val_frequency=99,
+                         model_save_dir=str(tmp_path / "mid"))
+        real_step = tr._train_step
+        calls = {"n": 0}
+
+        def dying(state, batch):
+            if calls["n"] == 1:
+                raise KeyboardInterrupt
+            calls["n"] += 1
+            return real_step(state, batch)
+
+        tr._train_step = dying
+        with pytest.raises(KeyboardInterrupt):
+            tr.train()
+        ck = tmp_path / "mid" / "CGR-test.latest.npz"
+        with pytest.raises(ValueError, match="MID-epoch"):
+            _mk_trainer(demo_ds, spec, tmp_path, reuse_packs=True,
+                        device_epoch=True, resume_from=str(ck),
+                        model_save_dir=str(tmp_path / "mid2"))
+
     def test_dp2_device_epoch_first_epoch_exact(self, demo_ds, spec,
                                                 tmp_path):
         """dp=2 device-epoch: epoch 0 groups are identical to the
