@@ -255,6 +255,9 @@ class TestDeviceEpoch:
         out2 = tr2.train()
         np.testing.assert_allclose(out1["train_losses"],
                                    out2["train_losses"], rtol=1e-5)
+        # validation is device-staged too (one scan per val epoch)
+        np.testing.assert_allclose(out1["val_losses"],
+                                   out2["val_losses"], rtol=1e-5)
         for a, b in zip(jax.tree_util.tree_leaves(tr1.state.params),
                         jax.tree_util.tree_leaves(tr2.state.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -312,6 +315,8 @@ class TestDeviceEpoch:
         out2 = tr2.train()
         np.testing.assert_allclose(out1["train_losses"],
                                    out2["train_losses"], rtol=1e-5)
+        np.testing.assert_allclose(out1["val_losses"],
+                                   out2["val_losses"], rtol=1e-5)
         for a, b in zip(jax.tree_util.tree_leaves(tr1.state.params),
                         jax.tree_util.tree_leaves(tr2.state.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -350,6 +355,8 @@ class TestDeviceEpoch:
         out2 = tr2.train()
         np.testing.assert_allclose(out1["train_losses"],
                                    out2["train_losses"], rtol=1e-5)
+        np.testing.assert_allclose(out1["val_losses"],
+                                   out2["val_losses"], rtol=1e-5)
         for a, b in zip(jax.tree_util.tree_leaves(tr1.state.params),
                         jax.tree_util.tree_leaves(tr2.state.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
