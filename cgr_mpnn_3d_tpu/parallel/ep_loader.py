@@ -31,7 +31,7 @@ from __future__ import annotations
 import queue
 import threading
 from dataclasses import dataclass, field, replace
-from typing import Iterator, Sequence
+from typing import Sequence
 
 import numpy as np
 

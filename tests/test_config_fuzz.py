@@ -10,8 +10,6 @@ train step against jax.value_and_grad over the XLA gather path
 (ops/segment.py) in interpret mode.
 """
 
-import itertools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

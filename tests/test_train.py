@@ -9,7 +9,7 @@ import jax
 import numpy as np
 import pytest
 
-from cgr_mpnn_3d_tpu.data import ChemDataset, PackSpec, plan_spec
+from cgr_mpnn_3d_tpu.data import ChemDataset, plan_spec
 from cgr_mpnn_3d_tpu.models import CGRMPNNConfig
 from cgr_mpnn_3d_tpu.train import (MetricsLogger, RxnGraphTrainer, evaluate,
                                    load_model, predict)
