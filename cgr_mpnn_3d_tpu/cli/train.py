@@ -110,7 +110,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--device_epoch", action="store_true",
                     help="stage the reused pack cache on the chip and run "
                          "each epoch as ONE jitted lax.scan (zero per-step "
-                         "host dispatch; requires --reuse_packs)")
+                         "host dispatch; requires --reuse_packs). On "
+                         "--dp/--ep meshes the epoch-0 batch-to-group "
+                         "assignment is frozen and later epochs shuffle "
+                         "GROUP order only (coarser than the host-looped "
+                         "path's batch-order reshuffle+regroup); epoch 0 "
+                         "is bit-exact, later epochs are statistically "
+                         "equivalent")
     ap.add_argument("--steps_per_call", default=1, type=int,
                     help="train steps per device dispatch (lax.scan); >1 "
                          "amortizes host round-trip latency BUT coarsens "

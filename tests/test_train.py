@@ -255,7 +255,8 @@ class TestDeviceEpoch:
         out2 = tr2.train()
         np.testing.assert_allclose(out1["train_losses"],
                                    out2["train_losses"], rtol=1e-5)
-        # validation is device-staged too (one scan per val epoch)
+        # validation runs host-looped on both sides (device-staged val was
+        # measured and retired, BASELINE.md r4 levers) — value equality only
         np.testing.assert_allclose(out1["val_losses"],
                                    out2["val_losses"], rtol=1e-5)
         for a, b in zip(jax.tree_util.tree_leaves(tr1.state.params),
