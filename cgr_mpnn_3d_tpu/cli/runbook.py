@@ -165,7 +165,14 @@ def main(argv=None) -> None:
     ap.add_argument("--depth", default=4, type=int)
     ap.add_argument("--hidden", default=400, type=int)
     ap.add_argument("--compute_dtype", default="bfloat16",
-                    choices=["float32", "bfloat16"])
+                    choices=["float32", "bfloat16"],
+                    help="bf16 default is backed by in-image evidence: "
+                         "tests/test_bf16.py trains the same config at "
+                         "f32 vs bf16 on a teacher task to final-RMSE "
+                         "parity and bounds forward/gradient drift "
+                         "(incl. the fused mean paths); if the T1x gate "
+                         "fails at bf16, rerun with float32 to separate "
+                         "dtype from recipe")
     ap.add_argument("--pack_q", default=1, type=int)
     ap.add_argument("--gate_cgr", default=GATE_CGR_RMSE, type=float)
     ap.add_argument("--gate_3d", default=GATE_3D_RMSE, type=float)

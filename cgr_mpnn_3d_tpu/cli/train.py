@@ -143,6 +143,13 @@ def run_name(args) -> str:
 
 
 def train(args) -> dict:
+    # multi-host: no-op single-process; on a pod slice every host runs
+    # this same CLI and the coordinator comes from the standard env vars
+    # (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID) or
+    # TPU metadata.  Must run before any device query.
+    from ..parallel import multihost
+    multihost.initialize()
+
     import jax.numpy as jnp
 
     from ..data import ChemDataset, plan_spec
@@ -206,8 +213,12 @@ def train(args) -> dict:
                      tb=args.pack_tb)
 
     name = run_name(args)
-    logger = MetricsLogger(name, config=vars_config(args),
-                           use_wandb=args.use_logger)
+    # metrics (JSONL + wandb) are written by the primary process only —
+    # every process computes identical replicated losses, so non-primary
+    # logs would be duplicates
+    logger = (MetricsLogger(name, config=vars_config(args),
+                            use_wandb=args.use_logger)
+              if multihost.is_primary() else None)
     trainer = RxnGraphTrainer(
         name=name, cfg=cfg, train_data=train_data, val_data=val_data,
         spec=spec, lr=args.learning_rate, weight_decay=args.weight_decay,
@@ -251,6 +262,10 @@ def main(argv=None) -> None:
 
     train_result = train(args)
     meta[name].update(**{k: v for k, v in train_result.items()})
+
+    from ..parallel import multihost
+    if not multihost.is_primary():
+        return  # test/eval + result persistence are primary-only
 
     if not args.skip_test:
         from .test import test

@@ -115,6 +115,9 @@ class PackedLoader:
         raise RuntimeError("unreachable")
 
     def __iter__(self) -> Iterator[PackedGraphBatch]:
+        yield from self._iter(self.workers)
+
+    def _iter(self, workers: int) -> Iterator[PackedGraphBatch]:
         if self.reuse_packs:
             if self._pack_cache is None:
                 # compose the cache from the FIXED epoch-0 graph order so a
@@ -124,12 +127,12 @@ class PackedLoader:
                 saved = self._epoch
                 self._epoch = 0
                 try:
-                    self._pack_cache = list(self._iter_pack(self.workers))
+                    self._pack_cache = list(self._iter_pack(workers))
                 finally:
                     self._epoch = saved
             yield from self._iter_cached()
             return
-        yield from self._iter_pack(self.workers)
+        yield from self._iter_pack(workers)
 
     def _iter_cached(self) -> Iterator[PackedGraphBatch]:
         """Reuse-epoch path: cached batches in epoch-seeded order."""
@@ -194,16 +197,16 @@ class PackedLoader:
     def prefetch(self, depth: int = 2,
                  workers: int | None = None) -> Iterator[PackedGraphBatch]:
         """Background-thread producer (overlaps packing with device steps);
-        ``workers`` overrides the loader's parallel-packing width."""
-        if workers is not None and workers != self.workers:
-            self.workers = workers
+        ``workers`` overrides the loader's parallel-packing width for THIS
+        iteration only (plain ``iter(loader)`` keeps ``self.workers``)."""
+        w = self.workers if workers is None else workers
         q: queue.Queue = queue.Queue(maxsize=depth)
         _SENTINEL = object()
         err: list[BaseException] = []
 
         def worker():
             try:
-                for b in self:
+                for b in self._iter(w):
                     q.put(b)
             except BaseException as e:  # surfaced to the consumer
                 err.append(e)

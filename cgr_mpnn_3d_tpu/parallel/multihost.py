@@ -1,30 +1,36 @@
 """Multi-host orchestration (jax.distributed) and per-host data sharding.
 
 The reference is strictly single-process (SURVEY.md §2: no comm backend at
-all).  On a multi-host pod slice each host runs this same program:
+all).  On a multi-host pod slice each host runs this same program — the
+shipped CLI does exactly this (cli/train.py calls :func:`initialize` before
+touching devices, and RxnGraphTrainer routes batches through
+:func:`globalize_group` whenever ``jax.process_count() > 1``):
 
     from cgr_mpnn_3d_tpu.parallel import multihost
     multihost.initialize()                       # env-driven coordinator
     mesh = make_mesh(n_dp=jax.device_count())    # global mesh over all hosts
-    rows = multihost.host_shard(len(dataset))    # disjoint per-host rows
+    cells = multihost.local_mesh_cells(mesh)     # this host's mesh coords
 
-Data parallelism over hosts = each host feeds the packed sub-batches for its
-own devices; gradients cross hosts through the same ``psum`` over 'dp'
-(GSPMD routes intra-slice traffic over ICI and cross-host over DCN).
-
-This module is exercised in single-process form by tests (host_shard math,
-initialize no-op path); real multi-host runs take coordinator settings from
-the standard env vars or explicit arguments.
+Data parallelism over hosts = each host packs the sub-batches for its own
+devices (window-granular host sharding — the multi-device analog of
+``host_shard``) and assembles them into ONE global jax.Array per step with
+:func:`globalize_group`; gradients cross hosts through the same ``psum``
+over 'dp' (GSPMD routes intra-slice traffic over ICI and cross-host over
+DCN).  Proven end to end by tests/test_multiprocess.py, which drives
+RxnGraphTrainer itself across 2 OS processes and asserts loss/param
+equality with single-process training.
 """
 
 from __future__ import annotations
 
 import os
+from typing import Any
 
 import jax
 import numpy as np
 
-__all__ = ["initialize", "host_shard", "is_primary", "sync_global_devices"]
+__all__ = ["initialize", "host_shard", "is_primary", "sync_global_devices",
+           "local_mesh_cells", "globalize_group"]
 
 _initialized = False
 
@@ -74,3 +80,62 @@ def sync_global_devices(tag: str = "barrier") -> None:
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
         multihost_utils.sync_global_devices(tag)
+
+
+def local_mesh_cells(mesh) -> list[tuple[int, int]]:
+    """This process's (dp, ep) coordinates on a ('dp','ep') mesh.
+
+    The trainer packs batches ONLY for these cells — the multi-device
+    generalization of :func:`host_shard` (each host feeds its own devices,
+    nothing else)."""
+    pid = jax.process_index()
+    return [tuple(idx) for idx, dev in np.ndenumerate(mesh.devices)
+            if dev.process_index == pid]
+
+
+def globalize_group(mesh, cells: dict[tuple[int, int], Any],
+                    joint_dp_ep: bool = False):
+    """Assemble per-cell host batches into one global jax.Array tree.
+
+    ``cells`` maps THIS process's (dp, ep) mesh coordinates (exactly
+    :func:`local_mesh_cells`) to host-side batch pytrees without device
+    axes.  Each process device_puts only its own cells; the returned
+    leaves are global arrays every process can pass to the shard_map'd
+    train/eval steps:
+
+    * default: shape ``[n_dp, n_ep, ...]`` sharded ``P('dp','ep')`` — the
+      EP step's batch layout;
+    * ``joint_dp_ep``: shape ``[n_dp*n_ep, ...]`` sharded
+      ``P(('dp','ep'))`` — the flat-dp step's layout (row-major over the
+      mesh, matching ``stack_batches`` order).
+
+    Single-process callers get the same result as ``device_put`` of the
+    stacked batch, so the trainer's multihost path is testable on one
+    process too.
+    """
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    n_dp, n_ep = mesh.devices.shape
+    sample = next(iter(cells.values()))
+    _, treedef = jax.tree_util.tree_flatten(sample)
+    flat = {c: jax.tree_util.tree_leaves(b) for c, b in cells.items()}
+    n_leaves = len(jax.tree_util.tree_leaves(sample))
+    out = []
+    for k in range(n_leaves):
+        l0 = np.asarray(flat[next(iter(flat))][k])
+        if joint_dp_ep:
+            shape = (n_dp * n_ep,) + l0.shape
+            sh = NamedSharding(mesh, P(("dp", "ep")))
+            arrs = [jax.device_put(np.asarray(leaves[k])[None],
+                                   mesh.devices[i, j])
+                    for (i, j), leaves in flat.items()]
+        else:
+            shape = (n_dp, n_ep) + l0.shape
+            sh = NamedSharding(mesh, P("dp", "ep"))
+            arrs = [jax.device_put(np.asarray(leaves[k])[None, None],
+                                   mesh.devices[i, j])
+                    for (i, j), leaves in flat.items()]
+        out.append(jax.make_array_from_single_device_arrays(shape, sh,
+                                                            arrs))
+    return jax.tree_util.tree_unflatten(treedef, out)

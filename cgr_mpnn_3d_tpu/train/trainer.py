@@ -217,6 +217,22 @@ class RxnGraphTrainer:
         self.n_dp = max(1, self.n_dp)
         self.n_ep = max(1, self.n_ep)
         ndev = self.n_dp * self.n_ep
+        # multi-host: jax.distributed was initialized by the caller
+        # (cli/train.py multihost.initialize()); every process runs this
+        # same trainer, packs batches only for its local mesh cells, and
+        # the shard_map'd steps psum across processes (DCN on real pods).
+        self._nproc = jax.process_count()
+        if self._nproc > 1:
+            if ndev <= 1:
+                raise ValueError(
+                    f"{self._nproc}-process run needs a multi-device mesh: "
+                    f"pass --dp/--ep so dp*ep covers all "
+                    f"{len(jax.devices())} global devices")
+            if self.device_epoch:
+                raise ValueError(
+                    "--device_epoch is single-process only for now: the "
+                    "staged epoch is a host-global device_put, which is "
+                    "not addressable under a multi-process mesh")
         if ndev > 1:
             if len(jax.devices()) < ndev:
                 raise ValueError(f"mesh dp={self.n_dp} x ep={self.n_ep} "
@@ -430,6 +446,15 @@ class RxnGraphTrainer:
             # (epoch in progress, successful steps completed within it)
             meta["mid_epoch"] = {"epoch": mid_epoch[0],
                                  "steps_done": mid_epoch[1]}
+        if self._nproc > 1:
+            # every process holds the same replicated state; only the
+            # primary writes, and the barrier guarantees a complete file
+            # before any process proceeds (e.g. to resume or eval it)
+            from ..parallel import multihost
+            if multihost.is_primary():
+                save_checkpoint(path, self.state, meta)
+            multihost.sync_global_devices("ckpt")
+            return Path(path)
         return save_checkpoint(path, self.state, meta)
 
     def _resume(self, path: str) -> None:
@@ -461,6 +486,78 @@ class RxnGraphTrainer:
                                  self.train_data.num_edge_features)
             group += [filler] * (self.n_dp - len(group))
             yield stack_batches(group)
+
+    def _mh_stream(self, loader):
+        """Multi-process batch stream: every process walks the SAME
+        deterministic global batch sequence (same data, same seed) but
+        packs and device_puts ONLY the sub-batches its local mesh cells
+        own; ``multihost.globalize_group`` assembles them into the global
+        jax.Array the shard_map'd step expects, so a multi-host run
+        computes exactly the single-process update (asserted by
+        tests/test_multiprocess.py driving this trainer across 2 OS
+        processes).
+
+        * dp (``n_ep == 1``): window-granular host sharding — process p
+          packs only the windows mapped to its dp positions.  The
+          single-process loader's overflow *carry* (a window that packs
+          short pushes its tail into the next window) cannot cross hosts,
+          so an overflow raises with guidance instead (the spec is planned
+          with headroom; overflow is the exceptional path).  With
+          ``reuse_packs`` the per-epoch batch-order reshuffle migrates
+          cached batches across hosts, so the cache is built host-global
+          (one redundant epoch of packing per host, amortized over the
+          run) and only local cells ship each step.
+        * ep: the edge-partition plan is a global decision
+          (pack_shard_edges assigns whole graphs to shards and learns the
+          pinned spec) — each process computes the full group identically
+          and ships its local (dp, ep) cells.
+        """
+        from ..data.batch import empty_batch
+        from ..parallel import multihost
+        local = multihost.local_mesh_cells(self._mesh)
+        if self.n_ep > 1:
+            for spec, stacked in loader.prefetch():
+                cells = {c: jax.tree_util.tree_map(
+                    lambda v, c=c: v[c[0], c[1]], stacked) for c in local}
+                yield spec, multihost.globalize_group(self._mesh, cells)
+            return
+        local_pos = [i for (i, _j) in local]
+        if loader.reuse_packs:
+            for stacked in self._dp_group(loader.prefetch(), loader.spec):
+                cells = {(i, 0): jax.tree_util.tree_map(
+                    lambda v, i=i: v[i], stacked) for i in local_pos}
+                yield multihost.globalize_group(self._mesh, cells,
+                                                joint_dp_ep=True)
+            return
+        order = loader._order()          # identical on every process
+        bs = loader.batch_size
+        n_win = int(np.ceil(len(order) / bs))
+        n_groups = int(np.ceil(n_win / self.n_dp))
+        filler = None
+        for g in range(n_groups):
+            cells = {}
+            for i in local_pos:
+                w = g * self.n_dp + i
+                rows = list(order[w * bs:(w + 1) * bs])
+                if rows and not (loader.drop_last and len(rows) < bs):
+                    b, used = loader._pack_window(rows)
+                    if used != len(rows):
+                        raise RuntimeError(
+                            f"multi-process window overflow: window {w} "
+                            f"packed only {used}/{len(rows)} graphs and "
+                            f"the single-process carry cannot cross "
+                            f"hosts — raise the pack spec headroom "
+                            f"(pack_te/pack_tn/pack_tb)")
+                else:
+                    if filler is None:
+                        filler = empty_batch(
+                            loader.spec,
+                            loader.dataset.num_node_features,
+                            loader.dataset.num_edge_features)
+                    b = filler
+                cells[(i, 0)] = b
+            yield multihost.globalize_group(self._mesh, cells,
+                                            joint_dp_ep=True)
 
     def _stage_epoch_on_device(self):
         """Stack the loader's (reuse_packs) epoch cache into device arrays
@@ -581,6 +678,10 @@ class RxnGraphTrainer:
         def batch_stream():
             """Yield (stacked_chunk_or_batch, n_steps, sum_loss_fn)."""
             K = max(1, self.steps_per_call)
+            if self._nproc > 1:
+                for b in self._mh_stream(self.train_loader):
+                    yield b, 1
+                return
             src = self.train_loader.prefetch()
             if self.n_dp > 1 and self.n_ep == 1:
                 src = self._dp_group(src, self.train_loader.spec)
@@ -657,9 +758,12 @@ class RxnGraphTrainer:
 
     def _val_epoch(self, epoch_idx: int) -> float:
         total = 0.0
-        batches = self.val_loader.prefetch()
-        if self.n_dp > 1 and self.n_ep == 1:
-            batches = self._dp_group(batches, self.val_loader.spec)
+        if self._nproc > 1:
+            batches = self._mh_stream(self.val_loader)
+        else:
+            batches = self.val_loader.prefetch()
+            if self.n_dp > 1 and self.n_ep == 1:
+                batches = self._dp_group(batches, self.val_loader.spec)
         for batch in batches:
             sse, _ = self._eval_step(self.state.params, batch)
             total += float(sse)
@@ -690,8 +794,9 @@ class RxnGraphTrainer:
                 if val < self.best_val_loss:
                     self.best_val_loss = val
                     path = self.save(save_dir / f"{self.name}.npz")
-                    print(f"New best model with validation loss RMSE: "
-                          f"{self.best_val_loss:.4f} located at {path}")
+                    if self._nproc == 1 or jax.process_index() == 0:
+                        print(f"New best model with validation loss RMSE: "
+                              f"{self.best_val_loss:.4f} located at {path}")
             # latest state for resume
             self.save(save_dir / f"{self.name}.latest.npz")
         out["train_time_s"] = time.time() - t0

@@ -438,3 +438,42 @@ class TestNaNGuardRollback:
         # the poisoned batch was dropped, the rest of training proceeded
         assert any(e.get("event") == "non_finite_loss" for e in events)
         assert len(out["train_losses"]) == 2
+
+
+class TestGlobalizeGroup:
+    """multihost.globalize_group: single-process it must equal device_put of
+    the stacked batch (the multi-process semantics are proven end-to-end by
+    test_multiprocess.test_two_process_trainer_equality)."""
+
+    def test_joint_dp_matches_stacked(self):
+        from jax.sharding import NamedSharding
+
+        from cgr_mpnn_3d_tpu.parallel import P, make_mesh, multihost
+
+        mesh = make_mesh(n_dp=4, n_ep=1, devices=jax.devices()[:4])
+        rng = np.random.default_rng(0)
+        batches = [{"a": rng.normal(size=(3, 5)).astype(np.float32),
+                    "b": np.int32(i)} for i in range(4)]
+        cells = dict(zip(multihost.local_mesh_cells(mesh), batches))
+        assert sorted(cells) == [(0, 0), (1, 0), (2, 0), (3, 0)]
+        g = multihost.globalize_group(mesh, cells, joint_dp_ep=True)
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs, 0), *batches)
+        sh = NamedSharding(mesh, P(("dp", "ep")))
+        for k in ("a", "b"):
+            assert g[k].sharding.is_equivalent_to(sh, g[k].ndim)
+            np.testing.assert_array_equal(np.asarray(g[k]), stacked[k])
+
+    def test_dp_ep_grid(self):
+        from cgr_mpnn_3d_tpu.parallel import make_mesh, multihost
+
+        mesh = make_mesh(n_dp=2, n_ep=2, devices=jax.devices()[:4])
+        cells = {c: {"x": np.full((2,), 10 * c[0] + c[1], np.float32)}
+                 for c in multihost.local_mesh_cells(mesh)}
+        g = multihost.globalize_group(mesh, cells)
+        assert g["x"].shape == (2, 2, 2)
+        got = np.asarray(g["x"])
+        for i in range(2):
+            for j in range(2):
+                np.testing.assert_array_equal(got[i, j],
+                                              np.full((2,), 10 * i + j))
