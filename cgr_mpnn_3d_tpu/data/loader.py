@@ -127,12 +127,33 @@ class PackedLoader:
                 saved = self._epoch
                 self._epoch = 0
                 try:
-                    self._pack_cache = list(self._iter_pack(workers))
+                    self._pack_cache = self._build_cache(workers)
                 finally:
                     self._epoch = saved
             yield from self._iter_cached()
             return
         yield from self._iter_pack(workers)
+
+    def _build_cache(self, workers: int) -> list[PackedGraphBatch]:
+        """Pack the whole epoch for reuse.  With the native packer this is
+        ONE ctypes mega-call (packer.cpp cgr_pack_epoch) — the per-window
+        marshal overhead that bounds epoch-1 at ~0.5 Medge/s on small
+        hosts disappears (measured 2.8-3.3 Medge/s in one call,
+        BASELINE.md); bit-identical to per-window iteration
+        (tests/test_native.py)."""
+        if self.use_native:
+            from .. import native
+            order = self._order().tolist()
+            graphs = [self.dataset.graph(i) for i in order]
+            labels = [self.dataset.labels[i] for i in order]
+            extra = ([self.dataset.extra_feats(i) for i in order]
+                     if self.dataset.use_npz else None)
+            return native.pack_epoch_native(
+                graphs, labels, self.spec, self.batch_size,
+                extra_node_feats=extra, row_ids=order,
+                sort_within=self.sort_within_batch,
+                drop_last=self.drop_last)
+        return list(self._iter_pack(workers))
 
     def _iter_cached(self) -> Iterator[PackedGraphBatch]:
         """Reuse-epoch path: cached batches in epoch-seeded order."""

@@ -137,3 +137,70 @@ def test_stale_source_triggers_rebuild(tmp_path):
     assert native.build()  # rebuilds
     assert so.stat().st_mtime >= old
     assert not native._stale()
+
+
+# ---------------------------------------------------------------------------
+# Epoch mega-call packer (cgr_pack_epoch): the --reuse_packs cache build in
+# ONE ctypes call must be bit-identical to per-window iteration, including
+# the overflow shrink (n -> int(n*0.8)) + carry path and drop_last.
+# ---------------------------------------------------------------------------
+
+def _assert_batch_lists_equal(a, b):
+    assert len(a) == len(b), (len(a), len(b))
+    for w, (x, y) in enumerate(zip(a, b)):
+        for name, xa, ya in zip(x._fields, x, y):
+            np.testing.assert_array_equal(np.asarray(xa), np.asarray(ya),
+                                          err_msg=f"window {w}: {name}")
+
+
+def _demo_loader(tmp_path, bs, te, tn, tb, npz=False, drop_last=False,
+                 seed=3):
+    from cgr_mpnn_3d_tpu.data import ChemDataset, plan_spec
+    from cgr_mpnn_3d_tpu.data.loader import PackedLoader
+    if npz:
+        from cgr_mpnn_3d_tpu.data.descriptors import \
+            synthetic_descriptors_npz
+        p = tmp_path / "d.npz"
+        synthetic_descriptors_npz(str(DEMO), str(p), 6)
+        ds = ChemDataset(str(DEMO), data_npz_path=str(p))
+    else:
+        ds = ChemDataset(str(DEMO))
+    gs = [ds.graph(i) for i in range(len(ds))]
+    spec = plan_spec(gs, te=te, tn=tn, tb=tb)
+    return PackedLoader(ds, spec, batch_size=bs, shuffle=True, seed=seed,
+                        reuse_packs=True, drop_last=drop_last)
+
+
+@pytest.mark.parametrize("npz", [False, True])
+def test_epoch_packer_matches_per_window(tmp_path, npz):
+    la = _demo_loader(tmp_path, bs=4, te=128, tn=64, tb=4, npz=npz)
+    lb = _demo_loader(tmp_path, bs=4, te=128, tn=64, tb=4, npz=npz)
+    next(iter(la), None)                   # builds cache via cgr_pack_epoch
+    assert la._pack_cache is not None
+    per_window = list(lb._iter_pack(1))    # per-window native path, epoch 0
+    _assert_batch_lists_equal(la._pack_cache, per_window)
+
+
+def test_epoch_packer_overflow_carry_parity(tmp_path):
+    """A deliberately tight spec (1 pack of 64 edge slots for 8-graph
+    windows) forces the shrink/carry path on nearly every window; the
+    mega-call must replicate it exactly."""
+    la = _demo_loader(tmp_path, bs=8, te=64, tn=48, tb=8)
+    lb = _demo_loader(tmp_path, bs=8, te=64, tn=48, tb=8)
+    next(iter(la), None)
+    per_window = list(lb._iter_pack(1))
+    # the tight spec must actually have overflowed (more windows than
+    # ceil(n/bs)) or this test is vacuous
+    n = len(lb.dataset)
+    assert len(per_window) > -(-n // 8), \
+        "spec did not overflow; tighten te/tn"
+    _assert_batch_lists_equal(la._pack_cache, per_window)
+
+
+def test_epoch_packer_drop_last_parity(tmp_path):
+    la = _demo_loader(tmp_path, bs=3, te=128, tn=64, tb=3, drop_last=True)
+    lb = _demo_loader(tmp_path, bs=3, te=128, tn=64, tb=3, drop_last=True)
+    next(iter(la), None)
+    per_window = list(lb._iter_pack(1))
+    assert len(per_window) == len(lb.dataset) // 3
+    _assert_batch_lists_equal(la._pack_cache, per_window)
