@@ -54,6 +54,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     help="checkpoint to resume from (upgrade over reference)")
     ap.add_argument("--use_logger", action="store_true",
                     help="log to wandb if available (JSONL always written)")
+    ap.add_argument("--log_histograms", action="store_true",
+                    help="wandb watch(log='all') equivalent "
+                         "(wandb_logger.py:41-49): per-layer param + "
+                         "sampled-gradient histograms once per epoch, to "
+                         "JSONL (and wandb Histogram when attached)")
     ap.add_argument("--compute_dtype", default="float32",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--pack_te", default=256, type=int)
@@ -225,6 +230,7 @@ def train(args) -> dict:
         gamma=args.gamma, num_epochs=args.num_epochs,
         batch_size=args.batch_size, val_frequency=args.val_frequency,
         model_save_dir=args.save_path, seed=args.seed, logger=logger,
+        log_histograms=args.log_histograms,
         resume_from=args.resume, steps_per_call=args.steps_per_call,
         loader_workers=args.loader_workers, reuse_packs=args.reuse_packs,
         device_epoch=args.device_epoch,

@@ -57,7 +57,39 @@ class MetricsLogger:
 
     def watch(self, *_args, **_kw) -> None:
         """Parameter/gradient watching (wandb_logger.py:41-49) — norms are
-        logged explicitly by the trainer instead of via hooks."""
+        logged explicitly by the trainer instead of via hooks; histograms
+        via :meth:`log_histograms` (trainer --log_histograms)."""
+
+    def log_histograms(self, tag: str, tree, epoch: int,
+                       bins: int = 24) -> None:
+        """wandb ``watch(log='all')`` equivalent (wandb_logger.py:41-49):
+        per-layer downsampled histograms of a pytree (params or grads),
+        one JSONL record per epoch with {leaf path: {counts, lo, hi}};
+        mirrored to wandb as native Histogram objects when attached.
+        Frequency is per-EPOCH, not the reference's log_freq=1 every-step
+        firehose (which at 1400 steps/s would swamp the host)."""
+        import numpy as np
+        import jax
+
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        hists = {}
+        wandb_hists = {}
+        for path, leaf in flat:
+            name = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                            for k in path)
+            a = np.asarray(leaf, np.float32).ravel()
+            if a.size == 0:
+                continue
+            counts, edges = np.histogram(a, bins=bins)
+            hists[name] = {"counts": counts.tolist(),
+                           "lo": float(edges[0]), "hi": float(edges[-1])}
+            if self._wandb is not None:
+                wandb_hists[f"{tag}/{name}"] = self._wandb.Histogram(
+                    np_histogram=(counts, edges))
+        self._emit({"event": f"histograms/{tag}", "epoch": epoch,
+                    "bins": bins, "hist": hists})
+        if self._wandb is not None:
+            self._wandb.log(wandb_hists, commit=False)
 
     def finish(self) -> None:
         self._f.close()

@@ -169,6 +169,12 @@ class RxnGraphTrainer:
     logger: MetricsLogger | None = None
     resume_from: str | None = None
     log_param_norms: bool = False
+    # wandb watch(log='all') equivalent (wandb_logger.py:41-49): per-layer
+    # downsampled histograms of params AND gradients, once per epoch
+    # (grads sampled from the epoch's first batch; params-only on the ep
+    # mesh and multi-process runs, where a host-side sample batch is not
+    # addressable)
+    log_histograms: bool = False
     # failure detection: after this many consecutive non-finite losses the
     # run aborts; single spikes roll back to the last saved state
     max_bad_steps: int = 3
@@ -307,6 +313,8 @@ class RxnGraphTrainer:
         cfg = self.cfg
         optimizer = self.optimizer
 
+        self._hist_grads = None   # per-layer grad histograms (see below)
+
         if self.n_ep > 1:
             from ..parallel import (make_ep_pack_eval_step,
                                     make_ep_pack_train_step, make_mesh)
@@ -346,6 +354,12 @@ class RxnGraphTrainer:
 
         # the loader fixes the pack count; the model needs it for Pallas
         step_spec = self.train_loader.spec
+
+        if self.log_histograms:
+            # eval-mode grads of one sampled batch (dropout off: the
+            # histogram should show the loss surface, not one mask draw)
+            self._hist_grads = jax.jit(lambda p, bb: jax.value_and_grad(
+                sse_loss)(p, bb, cfg, False, None, step_spec)[1])
 
         if self.n_dp > 1:
             from ..parallel import (make_dp_eval_step, make_dp_train_step,
@@ -662,6 +676,14 @@ class RxnGraphTrainer:
                     optax.global_norm(self.state.params))
                 rec["grad_norm"] = float(gnorm)
             self.logger.log(rec)
+        if self.log_histograms and self.logger:
+            sample = None
+            if self._hist_grads is not None and self._nproc == 1:
+                b0 = jax.tree_util.tree_map(lambda v: v[0], stacked)
+                if self.n_dp > 1 and self.n_ep == 1:
+                    b0 = jax.tree_util.tree_map(lambda v: v[0], b0)
+                sample = b0
+            self._emit_histograms(epoch_idx, sample)
         return rmse
 
     def _train_epoch(self, epoch_idx: int) -> float:
@@ -704,12 +726,21 @@ class RxnGraphTrainer:
                    "skipping_steps": skip}
             (self.logger.log(msg) if self.logger else print(msg))
         steps_done = 0
+        hist_sample = None
         for batch, n_steps in batch_stream():
             if steps_done + n_steps <= skip:
                 # fast-forward the deterministic loader past steps already
                 # trained before the mid-epoch checkpoint
                 steps_done += n_steps
                 continue
+            if (self.log_histograms and hist_sample is None
+                    and self.n_ep == 1 and self._nproc == 1):
+                b0 = batch
+                if n_steps > 1:
+                    b0 = jax.tree_util.tree_map(lambda v: v[0], b0)
+                if self.n_dp > 1:
+                    b0 = jax.tree_util.tree_map(lambda v: v[0], b0)
+                hist_sample = b0
             if n_steps > 1:
                 new_state, losses, gnorm = self._train_chunk(state, batch)
                 loss = jnp.sum(losses)
@@ -754,7 +785,18 @@ class RxnGraphTrainer:
             self.logger.log(rec)
         else:
             print(f"\n______epoch {epoch_idx}\nTrain loss, RMSE: {rmse:.4f}")
+        if self.log_histograms and self.logger:
+            self._emit_histograms(epoch_idx, hist_sample)
         return rmse
+
+    def _emit_histograms(self, epoch_idx: int, sample_batch) -> None:
+        """wandb watch(log='all') parity (wandb_logger.py:41-49): per-layer
+        param histograms every epoch, plus gradient histograms from one
+        sampled batch (eval-mode) when a host-addressable sample exists."""
+        self.logger.log_histograms("params", self.state.params, epoch_idx)
+        if sample_batch is not None and self._hist_grads is not None:
+            grads = self._hist_grads(self.state.params, sample_batch)
+            self.logger.log_histograms("grads", grads, epoch_idx)
 
     def _val_epoch(self, epoch_idx: int) -> float:
         total = 0.0

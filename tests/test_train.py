@@ -375,6 +375,47 @@ class TestDeviceEpoch:
         np.testing.assert_allclose(out2["train_losses"],
                                    out1["train_losses"], rtol=0.05)
 
+    def test_dpep_device_epoch_first_epoch_exact(self, demo_ds, spec,
+                                                 tmp_path):
+        """COMPOSED dp=2 x ep=2 mesh (4 virtual devices) — the dryrun's
+        production shape (VERDICT r4 weak #5): the staged epoch leaves
+        are [S, n_dp, n_ep, ...] sharded P(None,'dp','ep') and scanned by
+        make_ep_pack_epoch_scan; epoch 0 must match the host-looped
+        dp x ep path exactly."""
+        kw = dict(num_epochs=1, batch_size=8, n_dp=2, n_ep=2,
+                  reuse_packs=True)
+        tr1 = _mk_trainer(demo_ds, spec, tmp_path,
+                          model_save_dir=str(tmp_path / "xa"), **kw)
+        out1 = tr1.train()
+        tr2 = _mk_trainer(demo_ds, spec, tmp_path,
+                          model_save_dir=str(tmp_path / "xb"),
+                          device_epoch=True, **kw)
+        out2 = tr2.train()
+        np.testing.assert_allclose(out1["train_losses"],
+                                   out2["train_losses"], rtol=1e-5)
+        np.testing.assert_allclose(out1["val_losses"],
+                                   out2["val_losses"], rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(tr1.state.params),
+                        jax.tree_util.tree_leaves(tr2.state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+
+    def test_dpep_device_epoch_learns(self, demo_ds, spec, tmp_path):
+        """Multi-epoch composed-mesh device-epoch: later epochs shuffle
+        GROUP order (coarser than the host path's reshuffle+regroup) but
+        must still learn and track the host-looped dp x ep run."""
+        kw = dict(num_epochs=4, batch_size=8, n_dp=2, n_ep=2,
+                  reuse_packs=True)
+        out1 = _mk_trainer(demo_ds, spec, tmp_path,
+                           model_save_dir=str(tmp_path / "xc"),
+                           **kw).train()
+        out2 = _mk_trainer(demo_ds, spec, tmp_path,
+                           model_save_dir=str(tmp_path / "xd"),
+                           device_epoch=True, **kw).train()
+        assert out2["train_losses"][-1] < out2["train_losses"][0] * 0.95
+        np.testing.assert_allclose(out2["train_losses"],
+                                   out1["train_losses"], rtol=0.05)
+
 
 class TestDataParallelTrainer:
     def test_trainer_dp2_loss_matches_single_device(self, demo_ds, spec,
@@ -413,3 +454,47 @@ class TestDataParallelTrainer:
               "--data_path", str(d), "--save_path", str(tmp_path / "s"),
               "--skip_test", "--val_frequency", "1"])
         assert list((tmp_path / "s").glob("CGR*.npz"))
+
+
+class TestHistograms:
+    """wandb watch() equivalent (wandb_logger.py:41-49): per-layer
+    param + sampled-grad histograms, once per epoch, JSONL + wandb."""
+
+    def _run(self, demo_ds, spec, tmp_path, **kw):
+        logger = MetricsLogger("hist-test", log_dir=str(tmp_path / "runs"),
+                               stdout=False)
+        tr = _mk_trainer(demo_ds, spec, tmp_path, num_epochs=2,
+                         logger=logger, log_histograms=True, **kw)
+        tr.train()
+        recs = [json.loads(ln) for ln in
+                (tmp_path / "runs" / "hist-test.jsonl"
+                 ).read_text().splitlines()]
+        return [r for r in recs if str(r.get("event", "")
+                                       ).startswith("histograms/")]
+
+    def test_param_and_grad_histograms_logged(self, demo_ds, spec,
+                                              tmp_path):
+        hists = self._run(demo_ds, spec, tmp_path)
+        params = [r for r in hists if r["event"] == "histograms/params"]
+        grads = [r for r in hists if r["event"] == "histograms/grads"]
+        assert len(params) == 2 and len(grads) == 2  # one per epoch
+        h0 = params[0]["hist"]
+        # per-layer leaf paths with bin counts that sum to the leaf size
+        assert "edge_init/w" in h0 and "convs/0/w" in h0 and "ffn/w" in h0
+        leaf = h0["edge_init/w"]
+        assert sum(leaf["counts"]) == (demo_ds.num_node_features
+                                       + demo_ds.num_edge_features) * 32
+        assert leaf["lo"] < leaf["hi"]
+        g0 = grads[0]["hist"]
+        assert "convs/1/w" in g0 and sum(g0["convs/1/w"]["counts"]) > 0
+
+    def test_histograms_on_dp_mesh(self, demo_ds, spec, tmp_path):
+        hists = self._run(demo_ds, spec, tmp_path, n_dp=2, batch_size=8)
+        assert [r["event"] for r in hists].count("histograms/params") == 2
+        assert [r["event"] for r in hists].count("histograms/grads") == 2
+
+    def test_histograms_params_only_on_ep_mesh(self, demo_ds, spec,
+                                               tmp_path):
+        hists = self._run(demo_ds, spec, tmp_path, n_ep=2, batch_size=6)
+        assert [r["event"] for r in hists].count("histograms/params") == 2
+        assert all(r["event"] != "histograms/grads" for r in hists)
