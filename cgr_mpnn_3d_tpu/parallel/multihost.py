@@ -30,7 +30,7 @@ import jax
 import numpy as np
 
 __all__ = ["initialize", "host_shard", "is_primary", "sync_global_devices",
-           "local_mesh_cells", "globalize_group"]
+           "local_mesh_cells", "globalize_group", "globalize_epoch"]
 
 _initialized = False
 
@@ -137,5 +137,41 @@ def globalize_group(mesh, cells: dict[tuple[int, int], Any],
                                    mesh.devices[i, j])
                     for (i, j), leaves in flat.items()]
         out.append(jax.make_array_from_single_device_arrays(shape, sh,
+                                                            arrs))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def globalize_epoch(mesh, stacked, joint_dp_ep: bool = False):
+    """Stage a host-global stacked EPOCH (``--device_epoch``) on a
+    multi-process mesh.
+
+    ``stacked`` leaves are host-global numpy ``[S, n_dp, n_ep, ...]``
+    (default) or ``[S, n_dp*n_ep, ...]`` (``joint_dp_ep`` — the flat-dp
+    layout); every process holds the same cache (the reuse_packs cache is
+    host-global under multi-process) and device_puts ONLY its local
+    cells' columns.  Returns global arrays sharded ``P(None,'dp','ep')``
+    / ``P(None,('dp','ep'))`` — the layouts the epoch-scan steps expect.
+    A plain ``jax.device_put(stacked, sharding)`` would raise on a
+    multi-process mesh (non-addressable devices); this is its
+    multi-process equivalent.
+    """
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    n_dp, n_ep = mesh.devices.shape
+    cells = local_mesh_cells(mesh)
+    leaves, treedef = jax.tree_util.tree_flatten(stacked)
+    out = []
+    for leaf in leaves:
+        a = np.asarray(leaf)
+        if joint_dp_ep:
+            sh = NamedSharding(mesh, P(None, ("dp", "ep")))
+            arrs = [jax.device_put(a[:, i * n_ep + j:i * n_ep + j + 1],
+                                   mesh.devices[i, j]) for (i, j) in cells]
+        else:
+            sh = NamedSharding(mesh, P(None, "dp", "ep"))
+            arrs = [jax.device_put(a[:, i:i + 1, j:j + 1],
+                                   mesh.devices[i, j]) for (i, j) in cells]
+        out.append(jax.make_array_from_single_device_arrays(a.shape, sh,
                                                             arrs))
     return jax.tree_util.tree_unflatten(treedef, out)

@@ -234,11 +234,10 @@ class RxnGraphTrainer:
                     f"{self._nproc}-process run needs a multi-device mesh: "
                     f"pass --dp/--ep so dp*ep covers all "
                     f"{len(jax.devices())} global devices")
-            if self.device_epoch:
-                raise ValueError(
-                    "--device_epoch is single-process only for now: the "
-                    "staged epoch is a host-global device_put, which is "
-                    "not addressable under a multi-process mesh")
+            # --device_epoch composes with multi-process meshes: staging
+            # goes through multihost.globalize_epoch (each process
+            # device_puts only its local cells' epoch columns) instead of
+            # a host-global device_put
         if ndev > 1:
             if len(jax.devices()) < ndev:
                 raise ValueError(f"mesh dp={self.n_dp} x ep={self.n_ep} "
@@ -610,12 +609,16 @@ class RxnGraphTrainer:
                 stacked = jax.tree_util.tree_map(
                     lambda *xs: np.stack([np.asarray(x) for x in xs], 0),
                     *[b for _, b in batches])
-                sh = NamedSharding(self._mesh, P(None, "dp", "ep"))
                 opt, cfg_, mesh_ = self._ep_de_ctx
                 self._epoch_scan = make_ep_pack_epoch_scan(opt, cfg_,
                                                            mesh_, spec0)
-                self._epoch_dev = (jax.device_put(stacked, sh),
-                                   len(batches))
+                if self._nproc > 1:
+                    from ..parallel import multihost
+                    dev = multihost.globalize_epoch(self._mesh, stacked)
+                else:
+                    sh = NamedSharding(self._mesh, P(None, "dp", "ep"))
+                    dev = jax.device_put(stacked, sh)
+                self._epoch_dev = (dev, len(batches))
             elif self.n_dp > 1:
                 from jax.sharding import NamedSharding
                 from jax.sharding import PartitionSpec as P
@@ -624,8 +627,14 @@ class RxnGraphTrainer:
                 stacked = jax.tree_util.tree_map(
                     lambda *xs: np.stack([np.asarray(x) for x in xs], 0),
                     *groups)
-                sh = NamedSharding(self._mesh, P(None, ("dp", "ep")))
-                self._epoch_dev = (jax.device_put(stacked, sh), len(groups))
+                if self._nproc > 1:
+                    from ..parallel import multihost
+                    dev = multihost.globalize_epoch(self._mesh, stacked,
+                                                    joint_dp_ep=True)
+                else:
+                    sh = NamedSharding(self._mesh, P(None, ("dp", "ep")))
+                    dev = jax.device_put(stacked, sh)
+                self._epoch_dev = (dev, len(groups))
             else:
                 stacked = jax.tree_util.tree_map(
                     lambda *xs: np.stack([np.asarray(x) for x in xs], 0),

@@ -69,6 +69,15 @@ def run_phase(phase: str) -> dict:
         kw.update(n_dp=4, batch_size=8, reuse_packs=True, num_epochs=3)
     elif phase == "dpep":
         kw.update(n_dp=2, n_ep=2, batch_size=4, ep_te=64, ep_tn=48)
+    elif phase == "dpde":
+        # --device_epoch across processes: the staged epoch goes through
+        # multihost.globalize_epoch (joint dp layout)
+        kw.update(n_dp=4, batch_size=8, reuse_packs=True,
+                  device_epoch=True, num_epochs=2)
+    elif phase == "dpepde":
+        # composed dp x ep mesh + device_epoch + 2 OS processes
+        kw.update(n_dp=2, n_ep=2, batch_size=4, ep_te=64, ep_tn=48,
+                  reuse_packs=True, device_epoch=True, num_epochs=2)
     else:
         raise ValueError(phase)
     tr = RxnGraphTrainer(**kw)
@@ -77,7 +86,8 @@ def run_phase(phase: str) -> dict:
             "checksum": checksum(tr.state.params)}
 
 
-results = {ph: run_phase(ph) for ph in ("dp", "dpreuse", "dpep")}
+results = {ph: run_phase(ph)
+           for ph in ("dp", "dpreuse", "dpep", "dpde", "dpepde")}
 multihost.sync_global_devices("done")
 print("RESULT " + json.dumps(results))
 print(f"PRIMARY {multihost.is_primary()}")
