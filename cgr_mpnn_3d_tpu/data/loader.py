@@ -89,7 +89,13 @@ class PackedLoader:
         return idx
 
     def _pack_window(self, rows: list[int]) -> tuple[PackedGraphBatch, int]:
-        """Pack as many of ``rows`` as fit; returns (batch, n_consumed)."""
+        """Pack as many of ``rows`` as fit; returns (batch, n_consumed).
+
+        Native path: the overflow-shrink loop probes feasibility with the
+        placement-only `cgr_place_graphs` (no output allocation/writes —
+        at bs-64 with te=128 tiles shrinking is the NORM, and a full pack
+        per doomed attempt dominated the per-window cost), then packs
+        exactly once at the surviving n."""
         n = len(rows)
         while n > 0:
             window = rows[:n]
@@ -100,12 +106,16 @@ class PackedLoader:
             labels = [self.dataset.labels[i] for i in window]
             extra = ([self.dataset.extra_feats(i) for i in window]
                      if self.dataset.use_npz else None)
+            if self.use_native:
+                from .. import native
+                if not native.place_graphs_native(graphs, self.spec):
+                    if n == 1:
+                        raise ValueError(native.last_error())
+                    n = max(1, int(n * 0.8))
+                    continue
+                return native.pack_graphs_native(
+                    graphs, labels, self.spec, extra, row_ids=window), n
             try:
-                if self.use_native:
-                    from .. import native
-                    return native.pack_graphs_native(
-                        graphs, labels, self.spec, extra,
-                        row_ids=window), n
                 return pack_graphs(graphs, labels, self.spec, extra,
                                    row_ids=window), n
             except ValueError:

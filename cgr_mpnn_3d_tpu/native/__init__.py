@@ -18,7 +18,8 @@ import numpy as np
 from ..chem.featurize import GraphArrays
 
 __all__ = ["available", "featurize", "pack_graphs_native",
-           "pack_epoch_native", "NativeError", "build"]
+           "pack_epoch_native", "place_graphs_native", "last_error",
+           "NativeError", "build"]
 
 _DIR = Path(__file__).resolve().parent
 _SO = _DIR / "libcgrfeat.so"
@@ -93,6 +94,9 @@ def _load():
             + [i32, i32, f32, i32]          # senders, receivers, labels, rows
             + [f32, f32, i32, i32, i32, i32, i32, i32, i32, i32, i32,
                f32, f32, i32])              # outputs
+        lib.cgr_place_graphs.restype = ctypes.c_int
+        lib.cgr_place_graphs.argtypes = (
+            [ctypes.c_int32] * 6 + [ctypes.c_int32, i32, i32, i32])
         u64 = np.ctypeslib.ndpointer(np.uint64, flags="C")
         lib.cgr_pack_epoch.restype = ctypes.c_int
         lib.cgr_pack_epoch.argtypes = (
@@ -211,6 +215,30 @@ def pack_graphs_native(graphs, labels, spec, extra_node_feats=None,
             node_x=out.node_x.astype(spec.feat_dtype),
             edge_attr=out.edge_attr.astype(spec.feat_dtype))
     return out
+
+
+def place_graphs_native(graphs, spec) -> bool:
+    """Placement-only feasibility probe for one window (no output
+    allocation/writes): True iff ``pack_graphs_native(graphs, ..., spec)``
+    would succeed.  The loader's overflow-shrink loop probes with this
+    and pays the full pack exactly once (cf. cgr_pack_epoch's dry pass).
+    Raises ValueError at the caller's request via :func:`last_error`."""
+    lib = _load()
+    node_counts = np.asarray([g.num_nodes for g in graphs], np.int32)
+    edge_counts = np.asarray([g.num_edges for g in graphs], np.int32)
+    recv = (np.ascontiguousarray(np.concatenate(
+        [g.receivers for g in graphs])) if len(graphs) else
+        np.zeros(0, np.int32))
+    if recv.size == 0:
+        recv = np.zeros(1, np.int32)  # valid pointer for the empty case
+    rc = lib.cgr_place_graphs(
+        spec.p, spec.te, spec.tn, spec.tb, spec.d, spec.dn,
+        len(graphs), node_counts, edge_counts, recv)
+    return rc == 0
+
+
+def last_error() -> str:
+    return _load().cgr_last_error().decode()
 
 
 def _ptr_table(arrays, dtype, keep: list) -> np.ndarray:

@@ -350,6 +350,30 @@ extern "C" int cgr_pack_graphs(
   return pack_window_ef(s, g, e_feat, idx.data(), n_graphs, o);
 }
 
+// Placement-only feasibility probe for ONE window of concatenated
+// graphs: the loader's overflow-shrink loop (data/loader._pack_window)
+// calls this per attempt instead of paying a full pack (output
+// allocation + init + writes) per doomed attempt, then packs exactly
+// once at the surviving n.  Returns 0 feasible / -1 with the error set.
+extern "C" int cgr_place_graphs(
+    int32_t p, int32_t te, int32_t tn, int32_t tb, int32_t d, int32_t dn,
+    int32_t n_graphs, const int32_t* node_counts, const int32_t* edge_counts,
+    const int32_t* receivers_in) {
+  const Spec s{p, te, tn, tb, d, dn};
+  std::vector<int32_t> idx(n_graphs);
+  std::vector<uint64_t> rp(n_graphs);
+  int64_t eb = 0;
+  for (int32_t i = 0; i < n_graphs; ++i) {
+    idx[i] = i;
+    rp[i] = reinterpret_cast<uint64_t>(receivers_in + eb);
+    eb += edge_counts[i];
+  }
+  const Graphs g{nullptr,      nullptr, 0,         0,
+                 nullptr,      nullptr, rp.data(), node_counts,
+                 edge_counts,  nullptr, nullptr};
+  return place_window(s, g, idx.data(), n_graphs);
+}
+
 // One call packs a whole epoch from per-graph pointer tables (epoch
 // order); windows, in-window sorting, overflow shrink and carry replicate
 // data/loader.py::_iter_pack serially.  Outputs are max_windows stacked
