@@ -145,6 +145,39 @@ def run(args) -> dict:
               f"{rmse400:.3f} (+{args.gate_tolerance:.0%}) -> "
               f"{'PASS' if passed else 'FAIL'}")
 
+    if args.compare_f32 and plan:
+        # dtype gate on the REAL task: the bf16 default is justified
+        # in-image by tests/test_bf16.py (teacher-task duel + drift
+        # bounds); this leg retrains the last model at the other dtype on
+        # T1x itself and requires both final RMSEs to land together —
+        # separating dtype from recipe the moment the data exists
+        import copy
+        base_name = plan[-1][0]
+        rmse_main = summary["gates"][base_name]["test_rmse_kcal_mol"]
+        other = ("float32" if args.compute_dtype == "bfloat16"
+                 else "bfloat16")
+        adt = copy.copy(args)
+        adt.compute_dtype = other
+        print(f"== training {base_name} at {other} (dtype gate)")
+        targs = train_parser().parse_args(
+            _reference_train_args(base_name, adt))
+        train(targs)
+        ckpt = Path(args.save_path) / f"{run_name(targs)}.npz"
+        res = run_test(base_name, str(ckpt), data_path=args.data_path,
+                       plot_results=False, save_plot="")
+        rmse_other = float(res["test_losses"])
+        tol = args.gate_tolerance
+        passed = (rmse_main <= rmse_other * (1.0 + tol) + 0.05
+                  and rmse_other <= rmse_main * (1.0 + tol) + 0.05)
+        ok &= passed
+        summary["gates"][f"dtype_{args.compute_dtype}_vs_{other}"] = {
+            "rmse_main": rmse_main, "rmse_other": rmse_other,
+            "tolerance": tol, "passed": bool(passed),
+            "checkpoint": str(ckpt)}
+        print(f"== {base_name}: {args.compute_dtype} RMSE "
+              f"{rmse_main:.3f} vs {other} {rmse_other:.3f} "
+              f"(+/-{tol:.0%}) -> {'PASS' if passed else 'FAIL'}")
+
     summary["all_passed"] = bool(ok)
     out = Path(args.summary)
     out.parent.mkdir(parents=True, exist_ok=True)
@@ -185,6 +218,12 @@ def main(argv=None) -> None:
                          "and gate its test RMSE against the H=400 run "
                          "(BASELINE.md's H512 recommendation is perf-only "
                          "until this leg passes)")
+    ap.add_argument("--compare_f32", action="store_true",
+                    help="dtype gate on the real task: retrain the last "
+                         "model at the other compute dtype and require "
+                         "both test RMSEs to land together (the in-image "
+                         "bf16 evidence is tests/test_bf16.py; this leg "
+                         "extends it to T1x itself)")
     args = ap.parse_args(argv)
     summary = run(args)
     if not summary["all_passed"]:

@@ -478,6 +478,26 @@ class TestRunbook:
         assert leg["passed"]
         assert "512" in leg["checkpoint"]
 
+    def test_runbook_dtype_gate(self, datasets, tmp_path, monkeypatch):
+        """--compare_f32 retrains the last model at the other compute
+        dtype and requires both test RMSEs to land together (the T1x
+        extension of the in-image tests/test_bf16.py evidence).  Demo-set
+        smoke: f32 main vs bf16 other on a tiny model."""
+        from cgr_mpnn_3d_tpu.cli.runbook import main
+        monkeypatch.chdir(tmp_path)
+        summary_path = tmp_path / "summary.json"
+        main(["--data_path", str(datasets),
+              "--save_path", str(tmp_path / "saved"),
+              "--summary", str(summary_path),
+              "--epochs", "2", "--depth", "2", "--hidden", "16",
+              "--compute_dtype", "float32", "--skip_3d",
+              "--gate_cgr", "1000", "--gate_tolerance", "5.0",
+              "--compare_f32"])
+        s = json.load(open(summary_path))
+        leg = s["gates"]["dtype_float32_vs_bfloat16"]
+        assert leg["passed"]
+        assert leg["rmse_main"] > 0 and leg["rmse_other"] > 0
+
     def test_runbook_gate_failure_exits_nonzero(self, datasets, tmp_path,
                                                 monkeypatch):
         from cgr_mpnn_3d_tpu.cli.runbook import main
