@@ -78,6 +78,13 @@ def run_phase(phase: str) -> dict:
         # composed dp x ep mesh + device_epoch + 2 OS processes
         kw.update(n_dp=2, n_ep=2, batch_size=4, ep_te=64, ep_tn=48,
                   reuse_packs=True, device_epoch=True, num_epochs=2)
+    elif phase == "dpresume":
+        # resume across processes: the primary-written checkpoint of the
+        # dp phase (barrier-synced) restores identically on EVERY process
+        # and training continues to single-process equality
+        kw.update(n_dp=4, batch_size=8, num_epochs=3,
+                  resume_from=os.path.join(out_dir, "dp",
+                                           "mh-dp.latest.npz"))
     else:
         raise ValueError(phase)
     tr = RxnGraphTrainer(**kw)
@@ -87,7 +94,8 @@ def run_phase(phase: str) -> dict:
 
 
 results = {ph: run_phase(ph)
-           for ph in ("dp", "dpreuse", "dpep", "dpde", "dpepde")}
+           for ph in ("dp", "dpreuse", "dpep", "dpde", "dpepde",
+                      "dpresume")}
 multihost.sync_global_devices("done")
 print("RESULT " + json.dumps(results))
 print(f"PRIMARY {multihost.is_primary()}")

@@ -196,6 +196,9 @@ def _trainer_phase_kwargs(phase: str, data_dir: Path, out_dir: Path):
     elif phase == "dpepde":
         kw.update(n_dp=2, n_ep=2, batch_size=4, ep_te=64, ep_tn=48,
                   reuse_packs=True, device_epoch=True, num_epochs=2)
+    elif phase == "dpresume":
+        kw.update(n_dp=4, batch_size=8, num_epochs=3,
+                  resume_from=str(out_dir / "dp" / "mh-dp.latest.npz"))
     return kw
 
 
@@ -238,7 +241,7 @@ def test_two_process_trainer_equality(tmp_path):
     results = [json.loads(parse(o, "RESULT")) for o in outs]
     assert sorted(parse(o, "PRIMARY") for o in outs) == ["False", "True"]
     # only the primary wrote checkpoints (best + latest, per phase)
-    for phase in ("dp", "dpreuse", "dpep", "dpde", "dpepde"):
+    for phase in ("dp", "dpreuse", "dpep", "dpde", "dpepde", "dpresume"):
         assert (tmp_path / "out" / phase / f"mh-{phase}.npz").exists()
         # both processes agree bit-for-bit
         assert results[0][phase] == results[1][phase], phase
