@@ -115,6 +115,14 @@ class _BaseEPLoader:
     # determinism) and rebuilt if pins grew during the build, so every
     # cached group shares the final pinned spec (one jit compilation).
     reuse_packs: bool = False
+    # parallel shard-packing width (PackedLoader.workers contract): the
+    # n_dp windows of a group are packed concurrently on a thread pool —
+    # numpy releases the GIL on array work, and production TPU hosts have
+    # ~112 vCPUs for 4-8 chips.  BIT-IDENTICAL to serial: packing under
+    # FIXED pins is a pure function per window, and any EPOverflow
+    # discards the parallel results and reruns the group through the
+    # serial growth loop (same learn order, same final pins).
+    workers: int = 1
 
     def __post_init__(self):
         if len(self.dataset) == 0:
@@ -228,32 +236,52 @@ class _BaseEPLoader:
         raise NotImplementedError
 
     def _iter_build(self):
+        from concurrent.futures import ThreadPoolExecutor
+
         order = list(self._order())
         bs = self.batch_size
         windows = [self._window(order[i:i + bs])
                    for i in range(0, len(order), bs)]
-        for g0 in range(0, len(windows), self.n_dp):
-            group_windows = windows[g0:g0 + self.n_dp]
-            group = []
-            i = 0
-            grows = 0
-            while i < len(group_windows):
-                try:
-                    group.append(self._shard_pinned(group_windows[i]))
-                    i += 1
-                except EPOverflow:
-                    grows += 1
-                    if grows > 2 * len(group_windows):
-                        raise
-                    # grow pins from THIS window's naturals (only the
-                    # failing window pays an unpinned pass), then re-shard
-                    # the whole group at the new pinned shapes
-                    self._learn(group_windows[i])
-                    group, i = [], 0
-            if len(group) < self.n_dp:
-                filler = self._filler(group[0])
-                group += [filler] * (self.n_dp - len(group))
-            yield self._emit(_stack_group(group))
+        ex = (ThreadPoolExecutor(self.workers)
+              if self.workers > 1 and self.n_dp > 1 else None)
+        try:
+            for g0 in range(0, len(windows), self.n_dp):
+                group_windows = windows[g0:g0 + self.n_dp]
+                group = None
+                if ex is not None:
+                    try:
+                        # pins are FIXED during the map; pure per-window
+                        # packing -> order-preserving, bit-identical
+                        group = list(ex.map(self._shard_pinned,
+                                            group_windows))
+                    except EPOverflow:
+                        group = None   # redo serially with pin growth
+                if group is None:
+                    group = []
+                    i = 0
+                    grows = 0
+                    while i < len(group_windows):
+                        try:
+                            group.append(
+                                self._shard_pinned(group_windows[i]))
+                            i += 1
+                        except EPOverflow:
+                            grows += 1
+                            if grows > 2 * len(group_windows):
+                                raise
+                            # grow pins from THIS window's naturals (only
+                            # the failing window pays an unpinned pass),
+                            # then re-shard the whole group at the new
+                            # pinned shapes
+                            self._learn(group_windows[i])
+                            group, i = [], 0
+                if len(group) < self.n_dp:
+                    filler = self._filler(group[0])
+                    group += [filler] * (self.n_dp - len(group))
+                yield self._emit(_stack_group(group))
+        finally:
+            if ex is not None:
+                ex.shutdown(wait=False, cancel_futures=True)
 
     def _emit(self, stacked):
         """Hook: what one iteration yields (EPPackLoader attaches the spec

@@ -267,12 +267,14 @@ class RxnGraphTrainer:
                                              n_dp=self.n_dp, shuffle=True,
                                              seed=self.seed,
                                              te=self.ep_te, tn=self.ep_tn,
-                                             reuse_packs=self.reuse_packs)
+                                             reuse_packs=self.reuse_packs,
+                                             workers=self.loader_workers)
             self.val_loader = EPPackLoader(self.val_data, self.n_ep,
                                            batch_size=per_dev_bs,
                                            n_dp=self.n_dp, shuffle=False,
                                            te=self.ep_te, tn=self.ep_tn,
-                                           reuse_packs=self.reuse_packs)
+                                           reuse_packs=self.reuse_packs,
+                                           workers=self.loader_workers)
         else:
             self.train_loader = PackedLoader(self.train_data, self.spec,
                                              batch_size=per_dev_bs,

@@ -691,3 +691,42 @@ def test_overlap_eval_matches_xla_oracle():
 
     np.testing.assert_allclose(run(cfg_ov), run(cfg_x), atol=2e-4,
                                rtol=1e-4)
+
+
+def test_loader_parallel_workers_bit_identical():
+    """workers>1 packs a group's n_dp windows concurrently under fixed
+    pins; output must be bit-identical to serial iteration, INCLUDING a
+    mid-epoch pin growth (a giant chain forces an EPOverflow, which
+    discards the parallel results and reruns that group serially)."""
+
+    class FakeDataset:
+        def __init__(self):
+            rng = np.random.default_rng(17)   # per-instance: same graphs
+            self.graphs = synthetic_graphs(23, rng, node_feat_dim=NF) + \
+                [chain_graph(200, rng)]
+            self.labels = np.arange(len(self.graphs), dtype=np.float32)
+            self.use_npz = False
+            self.num_edge_features = FE
+            self.num_node_features = NF
+
+        def __len__(self):
+            return len(self.graphs)
+
+        def graph(self, i):
+            return self.graphs[i]
+
+    mk = lambda w: EPPackLoader(FakeDataset(), n_ep=2, batch_size=4,
+                                n_dp=2, shuffle=True, seed=3,
+                                prescan_batches=1, te=64, tn=32, workers=w)
+    la, lb = mk(1), mk(3)
+    serial = list(la)
+    par = list(lb)
+    assert len(serial) == len(par)
+    # the giant chain must actually have grown pins mid-epoch (the
+    # parallel path's EPOverflow -> serial-fallback branch is exercised)
+    assert la.spec.tn > 32 and lb.spec == la.spec
+    for (sa, ba), (sb, bb) in zip(serial, par):
+        assert sa == sb
+        for name, xa, xb in zip(ba._fields, ba, bb):
+            np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb),
+                                          err_msg=name)
