@@ -234,6 +234,24 @@ class RxnGraphTrainer:
                     f"{self._nproc}-process run needs a multi-device mesh: "
                     f"pass --dp/--ep so dp*ep covers all "
                     f"{len(jax.devices())} global devices")
+            # every process must walk the SAME deterministic batch
+            # sequence (seed, dataset, shapes) — a mismatch would not
+            # crash, it would silently diverge the loaders and deadlock
+            # the collectives.  Catch it at construction with one
+            # allgather of the config fingerprint.
+            from jax.experimental import multihost_utils
+            probe = np.asarray(
+                [self.seed, len(self.train_data), len(self.val_data),
+                 self.batch_size, self.n_dp, self.n_ep, self.num_epochs,
+                 int(self.reuse_packs), int(self.device_epoch),
+                 self.spec.te, self.spec.tn, self.spec.tb], np.int64)
+            gathered = np.asarray(multihost_utils.process_allgather(probe))
+            if not (gathered == probe[None, :]).all():
+                raise ValueError(
+                    "multi-process config mismatch: every process must "
+                    "run the identical trainer config (seed, dataset "
+                    "sizes, batch size, mesh, epochs, pack spec) — "
+                    f"fingerprints:\n{gathered}")
             # --device_epoch composes with multi-process meshes: staging
             # goes through multihost.globalize_epoch (each process
             # device_puts only its local cells' epoch columns) instead of

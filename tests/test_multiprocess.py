@@ -214,6 +214,27 @@ def _single_process_trainer(phase: str, data_dir: Path, out_dir: Path):
             "checksum": checksum}
 
 
+def test_two_process_config_mismatch_guard(tmp_path):
+    """Different seeds across processes must fail LOUDLY at trainer
+    construction (fingerprint allgather) — silent loader divergence would
+    deadlock the collectives mid-run instead."""
+    data_dir = tmp_path / "data"
+    _write_mh_csvs(data_dir)
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["JAX_PLATFORMS"] = "cpu"
+    child = Path(__file__).resolve().parent / "_multiproc_mismatch_child.py"
+    procs = [subprocess.Popen(
+        [sys.executable, str(child), str(i), str(port), str(data_dir)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=str(REPO), env=env) for i in range(2)]
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"child failed:\n{out}\n{err}"
+        assert "GUARD caught" in out, out
+
+
 def test_two_process_trainer_equality(tmp_path):
     import json
 
