@@ -132,6 +132,37 @@ def _graph_ell(receivers: np.ndarray, rev: np.ndarray, n_nodes: int,
     return node_inc, node_out
 
 
+def place_graphs(graphs: Sequence[GraphArrays], spec: PackSpec) -> bool:
+    """Placement-only feasibility probe: True iff :func:`pack_graphs`
+    would place every graph — the same per-graph checks (tile, dn,
+    ELL in-degree) and the same best-fit sequence, with NO output
+    allocation or writes.  Python twin of the native ``cgr_place_graphs``
+    (tests assert they agree); used by the loader's overflow-shrink loop
+    and by ``PackedLoader.plan_windows`` (multi-host window planning)."""
+    e_fill = np.zeros(spec.p, np.int32)
+    n_fill = np.zeros(spec.p, np.int32)
+    g_fill = np.zeros(spec.p, np.int32)
+    for g in graphs:
+        ne, nn = g.num_edges, g.num_nodes
+        if ne > spec.te or nn > spec.tn or nn > spec.dn:
+            return False
+        if ne and int(np.bincount(g.receivers,
+                                  minlength=nn).max()) > spec.d:
+            return False
+        feasible = ((e_fill + ne <= spec.te) & (n_fill + nn <= spec.tn)
+                    & (g_fill < spec.tb))
+        if not feasible.any():
+            return False
+        key = ((spec.te - e_fill - ne).astype(np.int64) * (spec.tn + 1)
+               + (spec.tn - n_fill - nn))
+        pk = int(np.argmin(np.where(feasible, key,
+                                    np.iinfo(np.int64).max)))
+        e_fill[pk] += ne
+        n_fill[pk] += nn
+        g_fill[pk] += 1
+    return True
+
+
 def pack_graphs(graphs: Sequence[GraphArrays],
                 labels: Sequence[float],
                 spec: PackSpec,

@@ -124,6 +124,50 @@ class PackedLoader:
                 n = max(1, int(n * 0.8))
         raise RuntimeError("unreachable")
 
+    def plan_windows(self, order) -> list[list[int]]:
+        """The exact window/carry plan serial iteration would emit —
+        which rows land in which emitted batch, including the overflow
+        shrink (n -> int(n*0.8)) and the carry of unconsumed rows —
+        computed with the placement-only probe (no packing, no output
+        allocation).  Multi-host training uses this so EVERY process
+        agrees on window boundaries while packing only the windows its
+        own devices consume (trainer._mh_stream)."""
+        from .batch import place_graphs
+        if self.use_native:
+            from .. import native
+            probe = lambda gs: native.place_graphs_native(gs, self.spec)
+        else:
+            probe = lambda gs: place_graphs(gs, self.spec)
+        plan: list[list[int]] = []
+        pending: list[int] = []
+        order = [int(i) for i in order]
+        pos = 0
+        while pos < len(order) or pending:
+            take = self.batch_size - len(pending)
+            rows = pending + order[pos:pos + take]
+            pos += take
+            if (self.drop_last and pos >= len(order)
+                    and len(rows) < self.batch_size):
+                break
+            n = len(rows)
+            while n > 0:
+                window = rows[:n]
+                if self.sort_within_batch:
+                    window = sorted(
+                        window,
+                        key=lambda i: -self.dataset.graph(i).num_edges)
+                if probe([self.dataset.graph(i) for i in window]):
+                    break
+                if n == 1:
+                    # surface the same error the real pack would raise
+                    self._pack_window(rows[:1])
+                    raise RuntimeError("unreachable: probe failed but "
+                                       "pack succeeded")
+                n = max(1, int(n * 0.8))
+            plan.append(rows[:n])
+            pending = rows[n:]
+        return plan
+
     def __iter__(self) -> Iterator[PackedGraphBatch]:
         yield from self._iter(self.workers)
 

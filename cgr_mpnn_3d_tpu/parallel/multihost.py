@@ -117,6 +117,11 @@ def globalize_group(mesh, cells: dict[tuple[int, int], Any],
     from jax.sharding import PartitionSpec as P
 
     n_dp, n_ep = mesh.devices.shape
+    if not cells:
+        raise ValueError(
+            "globalize_group: this process owns no cells of the mesh — "
+            "the mesh must cover at least one device of every process "
+            "(the trainer guards this at construction)")
     sample = next(iter(cells.values()))
     _, treedef = jax.tree_util.tree_flatten(sample)
     flat = {c: jax.tree_util.tree_leaves(b) for c, b in cells.items()}

@@ -234,6 +234,14 @@ class RxnGraphTrainer:
                     f"{self._nproc}-process run needs a multi-device mesh: "
                     f"pass --dp/--ep so dp*ep covers all "
                     f"{len(jax.devices())} global devices")
+            covered = {d.process_index for d in jax.devices()[:ndev]}
+            if len(covered) < self._nproc:
+                raise ValueError(
+                    f"mesh dp={self.n_dp} x ep={self.n_ep} uses only the "
+                    f"first {ndev} of {len(jax.devices())} global devices "
+                    f"and leaves some process(es) with no mesh cells "
+                    f"(covered process ids: {sorted(covered)} of "
+                    f"{self._nproc}); size dp*ep to the full device count")
             # every process must walk the SAME deterministic batch
             # sequence (seed, dataset, shapes) — a mismatch would not
             # crash, it would silently diverge the loaders and deadlock
@@ -530,16 +538,15 @@ class RxnGraphTrainer:
         tests/test_multiprocess.py driving this trainer across 2 OS
         processes).
 
-        * dp (``n_ep == 1``): window-granular host sharding — process p
-          packs only the windows mapped to its dp positions.  The
-          single-process loader's overflow *carry* (a window that packs
-          short pushes its tail into the next window) cannot cross hosts,
-          so an overflow raises with guidance instead (the spec is planned
-          with headroom; overflow is the exceptional path).  With
-          ``reuse_packs`` the per-epoch batch-order reshuffle migrates
-          cached batches across hosts, so the cache is built host-global
-          (one redundant epoch of packing per host, amortized over the
-          run) and only local cells ship each step.
+        * dp (``n_ep == 1``): window-granular host sharding — every
+          process computes the identical window/carry plan with the
+          placement-only probe (``PackedLoader.plan_windows``: the exact
+          shrink-and-carry semantics of serial iteration at probe cost,
+          no packing), then packs only the windows mapped to its dp
+          positions.  With ``reuse_packs`` the per-epoch batch-order
+          reshuffle migrates cached batches across hosts, so the cache
+          is built host-global (one redundant epoch of packing per host,
+          amortized over the run) and only local cells ship each step.
         * ep: the edge-partition plan is a global decision
           (pack_shard_edges assigns whole graphs to shards and learns the
           pinned spec) — each process computes the full group identically
@@ -562,25 +569,21 @@ class RxnGraphTrainer:
                 yield multihost.globalize_group(self._mesh, cells,
                                                 joint_dp_ep=True)
             return
-        order = loader._order()          # identical on every process
-        bs = loader.batch_size
-        n_win = int(np.ceil(len(order) / bs))
-        n_groups = int(np.ceil(n_win / self.n_dp))
+        # every process computes the identical window/carry plan with the
+        # placement-only probe (overflow shrink included — at bs-64 with
+        # te=128 tiles shrinking is the NORM), then packs only its own
+        # windows
+        plan = loader.plan_windows(loader._order())
+        n_groups = int(np.ceil(len(plan) / self.n_dp))
         filler = None
         for g in range(n_groups):
             cells = {}
             for i in local_pos:
                 w = g * self.n_dp + i
-                rows = list(order[w * bs:(w + 1) * bs])
-                if rows and not (loader.drop_last and len(rows) < bs):
-                    b, used = loader._pack_window(rows)
-                    if used != len(rows):
-                        raise RuntimeError(
-                            f"multi-process window overflow: window {w} "
-                            f"packed only {used}/{len(rows)} graphs and "
-                            f"the single-process carry cannot cross "
-                            f"hosts — raise the pack spec headroom "
-                            f"(pack_te/pack_tn/pack_tb)")
+                if w < len(plan):
+                    b, used = loader._pack_window(list(plan[w]))
+                    assert used == len(plan[w]), \
+                        "window plan disagrees with the packer"
                 else:
                     if filler is None:
                         filler = empty_batch(

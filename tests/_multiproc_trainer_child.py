@@ -2,11 +2,15 @@
 
 Unlike _multiproc_child.py (which hand-drives the shard_map steps), this
 child runs ``RxnGraphTrainer`` itself — the exact object cli/train.py
-constructs — across 2 OS processes x 2 local devices, in three phases:
+constructs — across 2 OS processes x 2 local devices, in seven phases:
 
   dp       n_dp=4 flat data parallelism, window-granular host sharding
   dpreuse  n_dp=4 + reuse_packs (host-global cache, local cells shipped)
   dpep     n_dp=2 x n_ep=2 composed mesh through EPPackLoader
+  dpde     n_dp=4 + reuse_packs + device_epoch (globalize_epoch staging)
+  dpepde   composed mesh + device_epoch
+  dpresume resume from the dp phase's primary-written checkpoint
+  dpcarry  TIGHT spec: the window plan's shrink-and-carry across hosts
 
 Each phase prints TRAIN/VAL loss lists and a final-param checksum; the
 parent asserts equality across processes AND against the single-process
@@ -58,7 +62,13 @@ def run_phase(phase: str) -> dict:
                         depth=2, hidden_sizes=(16, 16),
                         dropout_ps=(0.0, 0.0))
     graphs = [train_data.graph(i) for i in range(len(train_data))]
-    spec = plan_spec(graphs, te=64, tn=48, tb=2)
+    if phase == "dpcarry":
+        # deliberately TIGHT spec: windows overflow, shrink and carry —
+        # the multi-host window plan must reproduce the single-process
+        # carry exactly (trainer._mh_stream via plan_windows)
+        spec = plan_spec(graphs, te=8, tn=8, tb=2)
+    else:
+        spec = plan_spec(graphs, te=64, tn=48, tb=2)
     kw = dict(name=f"mh-{phase}", cfg=cfg, train_data=train_data,
               val_data=val_data, spec=spec, lr=1e-3, num_epochs=2,
               val_frequency=1, seed=0,
@@ -85,6 +95,8 @@ def run_phase(phase: str) -> dict:
         kw.update(n_dp=4, batch_size=8, num_epochs=3,
                   resume_from=os.path.join(out_dir, "dp",
                                            "mh-dp.latest.npz"))
+    elif phase == "dpcarry":
+        kw.update(n_dp=4, batch_size=8)
     else:
         raise ValueError(phase)
     tr = RxnGraphTrainer(**kw)
@@ -95,7 +107,7 @@ def run_phase(phase: str) -> dict:
 
 results = {ph: run_phase(ph)
            for ph in ("dp", "dpreuse", "dpep", "dpde", "dpepde",
-                      "dpresume")}
+                      "dpresume", "dpcarry")}
 multihost.sync_global_devices("done")
 print("RESULT " + json.dumps(results))
 print(f"PRIMARY {multihost.is_primary()}")

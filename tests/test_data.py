@@ -387,3 +387,50 @@ class TestFeatureCache:
         for i in range(len(ds)):
             np.testing.assert_array_equal(ds.graph(i).rev_edge_index,
                                           ds2.graph(i).rev_edge_index)
+
+
+class TestWindowPlanning:
+    """plan_windows + place_graphs: the multi-host window planner must
+    reproduce serial iteration's shrink-and-carry exactly, and the python
+    probe must agree with the native one."""
+
+    def _tight_loader(self, use_native=None):
+        from cgr_mpnn_3d_tpu.data import ChemDataset, plan_spec
+        from cgr_mpnn_3d_tpu.data.loader import PackedLoader
+        from pathlib import Path
+        demo = Path(__file__).resolve().parent.parent / "examples" / \
+            "demo.csv"
+        ds = ChemDataset(str(demo))
+        gs = [ds.graph(i) for i in range(len(ds))]
+        # tight: bs-4 windows overflow their single small pack
+        spec = plan_spec(gs, te=48, tn=32, tb=4)
+        return PackedLoader(ds, spec, batch_size=4, shuffle=True, seed=1,
+                            use_native=use_native)
+
+    @pytest.mark.parametrize("use_native", [None, False])
+    def test_plan_matches_serial_iteration(self, use_native):
+        ld = self._tight_loader(use_native)
+        plan = ld.plan_windows(ld._order())
+        batches = list(ld._iter_pack(1))
+        assert len(plan) == len(batches)
+        assert any(len(w) < 4 for w in plan), "spec did not carry"
+        for rows, b in zip(plan, batches):
+            got = sorted(int(r) for r in b.row_ids if r >= 0)
+            assert got == sorted(rows)
+        assert sum(len(w) for w in plan) == len(ld.dataset)
+
+    def test_python_place_probe_agrees_with_native(self):
+        from cgr_mpnn_3d_tpu import native
+        from cgr_mpnn_3d_tpu.data import place_graphs, plan_spec
+        if not native.available():
+            pytest.skip("native unavailable")
+        ld = self._tight_loader()
+        rng = np.random.default_rng(0)
+        gs_all = [ld.dataset.graph(i) for i in range(len(ld.dataset))]
+        spec = plan_spec(gs_all, te=48, tn=32, tb=4)
+        for _ in range(40):
+            k = int(rng.integers(1, 7))
+            idx = rng.choice(len(gs_all), size=k, replace=False)
+            gs = [gs_all[i] for i in idx]
+            assert place_graphs(gs, spec) == \
+                native.place_graphs_native(gs, spec)

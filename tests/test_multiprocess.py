@@ -147,9 +147,11 @@ def test_two_process_distributed_training():
 # ---------------------------------------------------------------------------
 # The SHIPPED trainer across 2 OS processes (VERDICT r4 ask #1): the child
 # runs RxnGraphTrainer itself (the object cli/train.py builds) on a global
-# 4-device mesh spanning 2 processes, in three phases — dp, dp+reuse_packs,
-# and the composed dp x ep mesh through EPPackLoader.  Both processes must
-# agree, and must match the single-process trainer on the same data/seed.
+# 4-device mesh spanning 2 processes, in seven phases — dp, dp+reuse_packs,
+# the composed dp x ep mesh through EPPackLoader, device_epoch on the dp
+# and composed meshes, resume from the primary-written checkpoint, and a
+# tight-spec shrink-and-carry window plan.  Both processes must agree, and
+# must match the single-process trainer on the same data/seed.
 # ---------------------------------------------------------------------------
 
 MH_TRAIN_SMILES = SMILES + SMILES[:4]
@@ -180,7 +182,10 @@ def _trainer_phase_kwargs(phase: str, data_dir: Path, out_dir: Path):
                         depth=2, hidden_sizes=(16, 16),
                         dropout_ps=(0.0, 0.0))
     graphs = [train_data.graph(i) for i in range(len(train_data))]
-    spec = plan_spec(graphs, te=64, tn=48, tb=2)
+    if phase == "dpcarry":
+        spec = plan_spec(graphs, te=8, tn=8, tb=2)
+    else:
+        spec = plan_spec(graphs, te=64, tn=48, tb=2)
     kw = dict(name=f"mh-{phase}", cfg=cfg, train_data=train_data,
               val_data=val_data, spec=spec, lr=1e-3, num_epochs=2,
               val_frequency=1, seed=0, model_save_dir=str(out_dir / phase))
@@ -199,6 +204,8 @@ def _trainer_phase_kwargs(phase: str, data_dir: Path, out_dir: Path):
     elif phase == "dpresume":
         kw.update(n_dp=4, batch_size=8, num_epochs=3,
                   resume_from=str(out_dir / "dp" / "mh-dp.latest.npz"))
+    elif phase == "dpcarry":
+        kw.update(n_dp=4, batch_size=8)
     return kw
 
 
@@ -262,7 +269,17 @@ def test_two_process_trainer_equality(tmp_path):
     results = [json.loads(parse(o, "RESULT")) for o in outs]
     assert sorted(parse(o, "PRIMARY") for o in outs) == ["False", "True"]
     # only the primary wrote checkpoints (best + latest, per phase)
-    for phase in ("dp", "dpreuse", "dpep", "dpde", "dpepde", "dpresume"):
+    # the dpcarry phase's tight spec must actually shrink-and-carry, or
+    # the multi-host window-plan equality it asserts is vacuous
+    kw = _trainer_phase_kwargs("dpcarry", data_dir, tmp_path / "probe")
+    from cgr_mpnn_3d_tpu.data.loader import PackedLoader
+    ld = PackedLoader(kw["train_data"], kw["spec"], batch_size=2,
+                      shuffle=True, seed=0)
+    plan = ld.plan_windows(ld._order())
+    assert any(len(w) < 2 for w in plan), "tight spec did not carry"
+
+    for phase in ("dp", "dpreuse", "dpep", "dpde", "dpepde", "dpresume",
+                  "dpcarry"):
         assert (tmp_path / "out" / phase / f"mh-{phase}.npz").exists()
         # both processes agree bit-for-bit
         assert results[0][phase] == results[1][phase], phase
