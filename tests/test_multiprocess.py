@@ -221,6 +221,52 @@ def _single_process_trainer(phase: str, data_dir: Path, out_dir: Path):
             "checksum": checksum}
 
 
+def test_two_process_cli_train_smoke(tmp_path):
+    """The PRODUCTION multi-host launch path: two OS processes run the
+    actual `cli.train` command with the coordinator from the standard
+    env vars (exactly how a pod host launches).  Primary-only side
+    effects: checkpoints, metrics JSONL, results json, the post-train
+    eval; the non-primary returns quietly after training."""
+    import json as _json
+
+    data_dir = tmp_path / "data"
+    _write_mh_csvs(data_dir)
+    # cli.train without --skip_test evaluates on the test split (primary)
+    (data_dir / "test.csv").write_text(
+        (data_dir / "val.csv").read_text())
+    work = tmp_path / "work"
+    work.mkdir()
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["JAX_PLATFORMS"] = "cpu"
+    child = Path(__file__).resolve().parent / "_multiproc_cli_child.py"
+    procs = [subprocess.Popen(
+        [sys.executable, str(child), str(i), str(port), str(data_dir),
+         str(work)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=str(REPO), env=env) for i in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"cli child failed:\n{out}\n{err}"
+        outs.append(out)
+    assert all(f"CLI-DONE {i}" in outs[i] for i in range(2))
+    # primary-only: results json written exactly once, with test metrics
+    study = work / "hyperparameter_study" / "CGR_hyperparameter_study.json"
+    assert study.exists()
+    rec = _json.load(open(study))
+    (run_key,) = rec.keys()
+    assert "test_losses" in rec[run_key]
+    # primary-only metrics JSONL exists and holds both epochs
+    jsonl = list((work / "runs").glob("*.jsonl"))
+    assert len(jsonl) == 1
+    epochs = [_json.loads(ln) for ln in jsonl[0].read_text().splitlines()]
+    assert sum(1 for r in epochs if "train_loss" in r) == 2
+    # checkpoints written by the primary only (but visible to both)
+    assert list((work / "saved").glob("CGR_*.npz"))
+
+
 def test_two_process_config_mismatch_guard(tmp_path):
     """Different seeds across processes must fail LOUDLY at trainer
     construction (fingerprint allgather) — silent loader divergence would
