@@ -158,11 +158,15 @@ def run(args) -> dict:
                  else "bfloat16")
         adt = copy.copy(args)
         adt.compute_dtype = other
+        # run_name does NOT encode the compute dtype, so the retrain must
+        # land in its own save dir or it would clobber the main gate's
+        # checkpoint (the artifact rmse_main was measured from)
+        adt.save_path = f"{args.save_path}_{other}"
         print(f"== training {base_name} at {other} (dtype gate)")
         targs = train_parser().parse_args(
             _reference_train_args(base_name, adt))
         train(targs)
-        ckpt = Path(args.save_path) / f"{run_name(targs)}.npz"
+        ckpt = Path(adt.save_path) / f"{run_name(targs)}.npz"
         res = run_test(base_name, str(ckpt), data_path=args.data_path,
                        plot_results=False, save_plot="")
         rmse_other = float(res["test_losses"])

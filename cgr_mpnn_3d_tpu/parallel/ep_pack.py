@@ -888,9 +888,13 @@ def ep_pack_forward(params: dict, b: EPPackedBatch, cfg: CGRMPNNConfig,
     # combination drops to the XLA glue path with a LOUD one-time warning
     # (VERDICT r4 weak #2: no silent compute-path change mid-run).
     wired_mean = cfg.aggr == "mean" and has_wire
-    use_fused = (cfg.use_pallas and cfg.activation in KERNEL_ACT
-                 and not (wired_mean and cfg.ep_overlap))
-    if cfg.use_pallas and wired_mean and cfg.ep_overlap:
+    fusable = cfg.use_pallas and cfg.activation in KERNEL_ACT
+    use_fused = fusable and not (wired_mean and cfg.ep_overlap)
+    if fusable and wired_mean and cfg.ep_overlap:
+        # warn only when dropping --ep_overlap would ACTUALLY move the
+        # run onto the fused kernels (a non-kernel activation stays on
+        # the XLA path either way, and the one-shot warning must not be
+        # consumed by advice that changes nothing)
         _warn_overlap_wired_mean_once()
     kact = KERNEL_ACT.get(cfg.activation, "relu")
 

@@ -80,12 +80,22 @@ class MetricsLogger:
             a = np.asarray(leaf, np.float32).ravel()
             if a.size == 0:
                 continue
-            counts, edges = np.histogram(a, bins=bins)
-            hists[name] = {"counts": counts.tolist(),
-                           "lo": float(edges[0]), "hi": float(edges[-1])}
-            if self._wandb is not None:
-                wandb_hists[f"{tag}/{name}"] = self._wandb.Histogram(
-                    np_histogram=(counts, edges))
+            # non-finite entries would make np.histogram raise (nan
+            # range) and kill the run at epoch end — exactly the
+            # transient the trainer's NaN guard is built to survive.
+            # Histogram the finite part, COUNT the rest.
+            finite = a[np.isfinite(a)]
+            rec = {"nonfinite": int(a.size - finite.size)}
+            if finite.size:
+                counts, edges = np.histogram(finite, bins=bins)
+                rec.update(counts=counts.tolist(),
+                           lo=float(edges[0]), hi=float(edges[-1]))
+                if self._wandb is not None:
+                    wandb_hists[f"{tag}/{name}"] = self._wandb.Histogram(
+                        np_histogram=(counts, edges))
+            else:
+                rec.update(counts=[], lo=0.0, hi=0.0)
+            hists[name] = rec
         self._emit({"event": f"histograms/{tag}", "epoch": epoch,
                     "bins": bins, "hist": hists})
         if self._wandb is not None:

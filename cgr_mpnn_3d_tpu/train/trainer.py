@@ -248,13 +248,24 @@ class RxnGraphTrainer:
             # the collectives.  Catch it at construction with one
             # allgather of the config fingerprint.
             from jax.experimental import multihost_utils
+            # f64 holds every int field exactly AND the float hyperparams;
+            # val_frequency/ckpt_every_steps/resume matter too — they gate
+            # whether a process enters eval/save collectives at an epoch
+            # boundary, so a mismatch desyncs the collective SEQUENCE
             probe = np.asarray(
                 [self.seed, len(self.train_data), len(self.val_data),
                  self.batch_size, self.n_dp, self.n_ep, self.num_epochs,
                  int(self.reuse_packs), int(self.device_epoch),
-                 self.spec.te, self.spec.tn, self.spec.tb], np.int64)
+                 self.spec.te, self.spec.tn, self.spec.tb,
+                 self.val_frequency, self.ckpt_every_steps,
+                 int(bool(self.resume_from)), self.steps_per_call,
+                 self.max_bad_steps, self.lr, self.weight_decay,
+                 self.gamma], np.float64)
             gathered = np.asarray(multihost_utils.process_allgather(probe))
-            if not (gathered == probe[None, :]).all():
+            # compare the gathered ROWS to each other (allgather runs in
+            # f32 under default-x64-off jax, so comparing against the
+            # local f64 probe would false-positive on e.g. lr=1e-3)
+            if not (gathered == gathered[0:1]).all():
                 raise ValueError(
                     "multi-process config mismatch: every process must "
                     "run the identical trainer config (seed, dataset "
@@ -582,8 +593,14 @@ class RxnGraphTrainer:
                 w = g * self.n_dp + i
                 if w < len(plan):
                     b, used = loader._pack_window(list(plan[w]))
-                    assert used == len(plan[w]), \
-                        "window plan disagrees with the packer"
+                    if used != len(plan[w]):
+                        # must stay loud under python -O: a short pack on
+                        # ONE host silently drops rows and diverges the
+                        # processes' training data
+                        raise RuntimeError(
+                            f"window plan disagrees with the packer "
+                            f"(planned {len(plan[w])} rows, packed "
+                            f"{used}) — probe/packer drift")
                 else:
                     if filler is None:
                         filler = empty_batch(

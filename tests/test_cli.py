@@ -497,6 +497,11 @@ class TestRunbook:
         leg = s["gates"]["dtype_float32_vs_bfloat16"]
         assert leg["passed"]
         assert leg["rmse_main"] > 0 and leg["rmse_other"] > 0
+        # the retrain must NOT clobber the main gate's checkpoint:
+        # run_name does not encode dtype, so the leg gets its own dir
+        main_ckpt = s["gates"]["CGR"]["checkpoint"]
+        assert leg["checkpoint"] != main_ckpt
+        assert Path(main_ckpt).exists() and Path(leg["checkpoint"]).exists()
 
     def test_runbook_gate_failure_exits_nonzero(self, datasets, tmp_path,
                                                 monkeypatch):

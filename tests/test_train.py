@@ -498,3 +498,23 @@ class TestHistograms:
         hists = self._run(demo_ds, spec, tmp_path, n_ep=2, batch_size=6)
         assert [r["event"] for r in hists].count("histograms/params") == 2
         assert all(r["event"] != "histograms/grads" for r in hists)
+
+    def test_histograms_survive_nonfinite_values(self, tmp_path):
+        """A NaN/inf in params or sampled grads must not kill the run at
+        epoch end (np.histogram raises on a nan range): the finite part
+        is histogrammed and the rest counted."""
+        logger = MetricsLogger("nf-test", log_dir=str(tmp_path / "runs"),
+                               stdout=False)
+        tree = {"w": np.asarray([1.0, float("nan"), 2.0, float("inf")],
+                                np.float32),
+                "allbad": np.asarray([float("nan")] * 3, np.float32)}
+        logger.log_histograms("grads", tree, epoch=0)
+        logger.finish()
+        recs = [json.loads(ln) for ln in
+                (tmp_path / "runs" / "nf-test.jsonl"
+                 ).read_text().splitlines()]
+        (h,) = [r for r in recs if r.get("event") == "histograms/grads"]
+        assert h["hist"]["w"]["nonfinite"] == 2
+        assert sum(h["hist"]["w"]["counts"]) == 2
+        assert h["hist"]["allbad"]["nonfinite"] == 3
+        assert h["hist"]["allbad"]["counts"] == []
